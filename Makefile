@@ -1,0 +1,18 @@
+# Test env notes:
+# - JAX_PLATFORMS=cpu keeps tests off the single-client TPU tunnel.
+# - PYTHONPATH is cleared of /root/.axon_site: its sitecustomize dials the
+#   TPU relay at interpreter startup and intermittently blocks for minutes.
+# - Run test jobs SERIALLY; concurrent XLA compiles thrash the small CPU.
+
+PY := env PYTHONPATH=$(CURDIR) JAX_PLATFORMS=cpu python
+
+test:
+	$(PY) -m pytest tests/ -x -q -m "not slow"
+
+test-all:
+	$(PY) -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+.PHONY: test test-all bench

@@ -1,0 +1,92 @@
+"""Benchmark: particle-site updates/s/chip (BASELINE.json metric).
+
+Runs the particle-filter sweep on simulated single-population data and
+reports throughput = num_particles * segments_processed / wall_clock.
+Prints ONE JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from smcsmc_tpu.demography import Demography
+    from smcsmc_tpu.em import EMConfig, prepare_blocks
+    from smcsmc_tpu.kernels.tree import epochs_from_demography
+    from smcsmc_tpu.simulate import simulate_seg
+    from smcsmc_tpu.smc import (
+        PFConfig,
+        default_lags,
+        init_state,
+        make_segment_step,
+    )
+
+    P = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+    n = 4
+    L = 2e6
+    num_epochs = 16
+    change = np.concatenate([[0.0], np.logspace(2.5, 5.0, num_epochs - 1)])
+    demo = Demography(
+        change_times=change,
+        pop_sizes=np.full((num_epochs, 1), 10000.0),
+        mig_rates=np.zeros((num_epochs, 1, 1)),
+        sample_pops=np.zeros(n, dtype=np.int32),
+        mutation_rate=1e-8,
+        recombination_rate=1e-9,
+        sequence_length=L,
+    )
+    seg = simulate_seg(demo, seed=11)
+
+    epochs = epochs_from_demography(demo)
+    cfg = PFConfig(num_particles=P, num_leaves=n)
+    rho = demo.recombination_rate
+    lags = jnp.asarray(default_lags(epochs, rho))
+    state = init_state(jax.random.PRNGKey(0), epochs, cfg, demo.sample_pops, rho)
+    step = make_segment_step(cfg, epochs, demo.mutation_rate, rho, lags)
+
+    run = jax.jit(lambda st, blk: jax.lax.scan(step, st, blk))
+
+    blocks = list(prepare_blocks(seg, 1024, int(seg.positions[0])))
+    # warmup/compile on first block
+    st, _ = run(state, blocks[0])
+    jax.block_until_ready(st.ln_norm)
+
+    t0 = time.time()
+    total_segments = 0
+    st = state
+    for blk in blocks:
+        st, _ = run(st, blk)
+        total_segments += int(blk[0].shape[0])
+    jax.block_until_ready(st.ln_norm)
+    dt = time.time() - t0
+
+    updates_per_sec = P * total_segments / dt
+    print(
+        json.dumps(
+            {
+                "metric": "particle_site_updates_per_sec_per_chip",
+                "value": float(updates_per_sec),
+                "unit": "particle-site updates/s",
+                "vs_baseline": None,
+                "detail": {
+                    "num_particles": P,
+                    "segments": total_segments,
+                    "wall_clock_s": dt,
+                    "n_haplotypes": n,
+                    "epochs": num_epochs,
+                    "sequence_bp": L,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,268 @@
+"""``smc2``-compatible command line interface.
+
+Option surface follows the reference (smcsmc/model.py:91-306 option table;
+src/pfparam.cpp:63-169 binary flags), with the same 11-step run sequence
+(cli.py:12 ``smcsmc_main``): parse -> validate -> segfiles -> chunks ->
+pattern -> EM loop -> merge.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+import numpy as np
+
+logger = logging.getLogger("smcsmc_tpu")
+
+
+def load_option_file(argv: list[str]) -> list[str]:
+    """-@ file indirection (model.py:331-342): tokens from the file are
+    spliced in at the option's position."""
+    out = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "-@":
+            with open(argv[i + 1]) as fh:
+                for line in fh:
+                    line = line.split("#")[0].strip()
+                    if line:
+                        out += line.split()
+            i += 2
+        else:
+            out.append(argv[i])
+            i += 1
+    return out
+
+
+def parse_smc2_args(argv: list[str]):
+    """Split smc2 options into driver settings + demography flags.
+
+    Returns (EMConfig-kwargs, demography-args, io dict)."""
+    from .em import EMConfig
+
+    argv = load_option_file(argv)
+    cfg = EMConfig()
+    io = {
+        "segs": [],
+        "out": "smcsmc_out",
+        "pattern": None,  # (start, end, pattern)
+        "maxgap": 200000,
+        "minseg": 500000,
+        "startpos": 1,
+        "length": None,
+        "arg": False,
+        "mu": None,
+        "rho": None,
+        "N0": 10000.0,
+        "nsam": None,
+        "calibrate_lag": 2.0,
+        "alpha": 0.0,
+    }
+    demo_args: list[str] = []
+    i = 0
+    while i < len(argv):
+        o = argv[i]
+
+        def take(k=1):
+            nonlocal i
+            vals = argv[i + 1 : i + 1 + k]
+            i += 1 + k
+            return vals if k > 1 else vals[0]
+
+        if o in ("-seg", "-segs"):
+            # -segs takes multiple files
+            i += 1
+            while i < len(argv) and not argv[i].startswith("-"):
+                io["segs"].append(argv[i])
+                i += 1
+        elif o == "-o":
+            io["out"] = take()
+        elif o == "-Np":
+            cfg.num_particles = int(take())
+        elif o == "-EM":
+            cfg.em_iters = int(take())
+        elif o == "-ESS":
+            cfg.ess_threshold = float(take())
+        elif o == "-P":
+            io["pattern"] = take(3)
+        elif o == "-N0":
+            io["N0"] = float(take())
+            demo_args += ["-N0", str(io["N0"])]
+        elif o == "-mu":
+            io["mu"] = float(take())
+        elif o == "-rho":
+            io["rho"] = float(take())
+        elif o == "-t":
+            demo_args += ["-t", take()]
+        elif o == "-r":
+            r, L = take(2)
+            demo_args += ["-r", r, L]
+        elif o == "-length":
+            io["length"] = float(take())
+        elif o == "-nsam":
+            io["nsam"] = int(take())
+        elif o == "-lag":
+            cfg.lag = float(take())
+        elif o == "-calibrate_lag":
+            io["calibrate_lag"] = float(take())
+        elif o == "-cap":
+            cfg.use_cap = True
+            cfg.ne_cap = float(take())
+        elif o == "-ancestral_aware":
+            cfg.ancestral_aware = True
+            i += 1
+        elif o == "-vb":
+            cfg.vb = True
+            i += 1
+        elif o == "-chunks":
+            cfg.chunks = int(take())
+        elif o == "-maxgap":
+            io["maxgap"] = int(float(take()))
+        elif o == "-minseg":
+            io["minseg"] = int(float(take()))
+        elif o == "-startpos":
+            io["startpos"] = int(float(take()))
+        elif o == "-seed":
+            cfg.seed = int(take())
+        elif o == "-arg":
+            io["arg"] = True
+            i += 1
+        elif o == "-alpha":
+            io["alpha"] = float(take())
+        elif o == "-smcsmcpath":
+            take()  # compatibility no-op: there is no external binary
+        elif o in ("-v", "--version"):
+            from . import __version__
+
+            print(f"smcsmc_tpu {__version__}")
+            sys.exit(0)
+        elif o in ("-h", "--help"):
+            print_help()
+            sys.exit(0)
+        elif o in (
+            "-I",
+            "-eI",
+            "-ej",
+            "-eM",
+            "-ema",
+            "-em",
+            "-eN",
+            "-en",
+            "-M",
+        ):
+            # demography flags pass through with their arguments
+            demo_args.append(o)
+            i += 1
+            while i < len(argv) and not argv[i].startswith("-"):
+                demo_args.append(argv[i])
+                i += 1
+        else:
+            raise SystemExit(f"smc2: unknown option {o!r}")
+    return cfg, demo_args, io
+
+
+def print_help():
+    print(
+        """smc2 (smcsmc_tpu) — demographic inference with particle filters on TPU
+
+Usage: smc2 [options] -seg FILE [FILE...]
+
+Core options (reference parity: smcsmc/model.py, src/pfparam.cpp):
+  -seg FILE...       input .seg file(s)
+  -o DIR             output directory [smcsmc_out]
+  -Np INT            number of particles [100]
+  -EM INT            number of EM iterations [0]
+  -ESS FLOAT         resampling threshold as fraction of Np [0.5]
+  -N0 FLOAT          baseline effective population size [10000]
+  -mu FLOAT          mutation rate /nt/gen
+  -rho FLOAT         recombination rate /nt/gen
+  -length FLOAT      sequence length
+  -nsam INT          number of haplotypes
+  -P S E PATT        log-spaced epochs, e.g. -P 133 133016 31*1
+  -I/-eI/-ej/-eN/-en/-eM/-em/-ema   ms/scrm demography flags
+  -lag FLOAT         fixed lag (bp); default: per-epoch 4/(rho*top_t)
+  -cap FLOAT         cap inferred Ne
+  -vb                variational-Bayes smoothing of the M-step
+  -chunks INT        genome chunks processed independently [1]
+  -maxgap/-minseg    chunking controls
+  -ancestral_aware   allele 0 is ancestral
+  -seed INT          random seed
+  -@ FILE            read options from file
+"""
+    )
+
+
+def build_demography(cfg, demo_args, io, seg=None):
+    """Assemble the Demography from flags (+ -P pattern rewriting,
+    model.py:470-536; Watterson default N0, model.py:563-662)."""
+    from .demography import parse_scrm_args, watterson_theta
+    from .pattern import smc2_pattern_times
+
+    n0 = io["N0"]
+    args = list(demo_args)
+    # translate -mu/-rho/-length into -t / -r
+    L = io["length"]
+    if L is None and seg is not None:
+        L = float(seg.end)
+    if L is None:
+        L = 2e7
+    if io["mu"] is not None and "-t" not in args:
+        args += ["-t", str(4 * n0 * io["mu"] * L)]
+    if io["rho"] is not None and "-r" not in args:
+        args += ["-r", str(4 * n0 * io["rho"] * L), str(L)]
+    if io["nsam"] is not None and "-nsam" not in args:
+        args += ["-nsam", str(io["nsam"])]
+    elif seg is not None and "-nsam" not in args and "-I" not in args:
+        args += ["-nsam", str(seg.num_samples)]
+
+    if io["pattern"] is not None:
+        start, end, patt = io["pattern"]
+        times = smc2_pattern_times(float(start), float(end), patt, n0=n0)
+        # rewrite as -eN commands at the pattern times (constant size 1.0
+        # start; the EM sweep re-estimates them)
+        for t in times:
+            if t > 0:
+                args += ["-eN", str(t), "1.0"]
+
+    demo = parse_scrm_args(args, n0=n0)
+    if L is not None:
+        demo.sequence_length = L
+    return demo
+
+
+def smcsmc_main(argv=None):
+    from .em import run_em
+    from .segio import merge_segs, read_seg
+
+    if argv is None:
+        argv = sys.argv[1:]
+    if not argv:
+        print_help()
+        return 1
+    cfg, demo_args, io = parse_smc2_args(argv)
+
+    os.makedirs(io["out"], exist_ok=True)
+    logging.basicConfig(
+        filename=os.path.join(io["out"], "result.log"), level=logging.INFO
+    )
+    logger.info("smc2 %s", " ".join(argv))
+
+    if not io["segs"]:
+        raise SystemExit("smc2: no -seg input given")
+    if len(io["segs"]) > 1:
+        seg, _ = merge_segs(io["segs"], gap=io["maxgap"])
+    else:
+        seg = read_seg(io["segs"][0])
+
+    demo = build_demography(cfg, demo_args, io, seg=seg)
+    cfg.outdir = io["out"]
+    result = run_em(demo, seg, cfg)
+    logger.info("final log-likelihoods: %s", result.log_likelihoods)
+    print(f"Results written to {io['out']}/result.out")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(smcsmc_main())

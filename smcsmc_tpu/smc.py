@@ -1,0 +1,397 @@
+"""The particle-filter sweep along the genome.
+
+TPU-native replacement for the reference's sweep loop
+(/root/reference/src/smcsmc.cpp:324-360 ``pfARG_core``;
+particleContainer.cpp:441-466 ``update_state_to_data``;
+particle.cpp:743-918 ``extend_ARG``):
+
+- the segment loop is a ``lax.scan`` over fixed-size blocks of .seg records;
+- each particle's per-segment recombination events run in a masked
+  ``lax.while_loop`` over the whole population at once;
+- weight normalization / ESS / the log-likelihood are population reductions;
+- systematic resampling (particleContainer.cpp:474-504) is a device-side
+  cumsum + searchsorted + gather over the particle axis;
+- lagged sufficient statistics (count.cpp:355-415) live in a per-particle
+  FIFO ring over genome spans, committed with the particle's *current*
+  normalized weight once the sweep front has passed ``position + lag[epoch]``
+  — reproducing the reference's "count once, with the summed posterior weight
+  of all descendants, only after the front has passed x+lag" semantics
+  (the FIFO rides through resampling via the ancestry gather).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kernels.likelihood import site_likelihood
+from .kernels.transition import recombination_transition
+from .kernels.tree import (
+    Epochs,
+    Trees,
+    branch_length_per_epoch,
+    data_branch_length,
+    make_initial_trees,
+)
+
+# ---------------------------------------------------------------------------
+# sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+class SuffStats(NamedTuple):
+    """Opportunity/count tensors (reference: count.hpp:92-100). Leading axes
+    vary: [] global, [P] per-particle increments, [P, F] the lag FIFO."""
+
+    coal_opp: jnp.ndarray  # [..., E, Pp]
+    coal_cnt: jnp.ndarray  # [..., E, Pp]
+    mig_opp: jnp.ndarray  # [..., E, Pp]
+    mig_cnt: jnp.ndarray  # [..., E, Pp, Pp]
+    recomb_opp: jnp.ndarray  # [..., E]
+    recomb_cnt: jnp.ndarray  # [..., E]
+
+
+def zero_stats(E: int, Pp: int, lead: tuple = ()) -> SuffStats:
+    z = lambda *s: jnp.zeros(lead + s, dtype=jnp.float32)
+    return SuffStats(
+        coal_opp=z(E, Pp),
+        coal_cnt=z(E, Pp),
+        mig_opp=z(E, Pp),
+        mig_cnt=z(E, Pp, Pp),
+        recomb_opp=z(E),
+        recomb_cnt=z(E),
+    )
+
+
+def _bcast_epoch(mask_e: jnp.ndarray, field: jnp.ndarray, lead_dims: int):
+    """Broadcast an [E] mask against a [<lead>, E, ...] field."""
+    shape = (1,) * lead_dims + (mask_e.shape[0],) + (1,) * (field.ndim - lead_dims - 1)
+    return mask_e.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# configuration and state
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PFConfig:
+    """Static sweep configuration (reference flags at pfparam.cpp:63-169)."""
+
+    num_particles: int
+    num_leaves: int
+    ess_threshold: float = 0.5  # resample when ESS < frac * P (pfparam.cpp:230)
+    fifo_slots: int = 4  # lag FIFO depth
+    ancestral_aware: bool = False
+    max_recomb_iters: int = 64  # safety bound on the inner while loop
+
+
+class PFState(NamedTuple):
+    trees: Trees
+    log_w: jnp.ndarray  # [P] normalized log posterior weights
+    next_rec: jnp.ndarray  # [P] next recombination pos rel. to sweep front
+    fifo: SuffStats  # [P, F, ...] pending lagged statistics
+    slot_open: jnp.ndarray  # [E] abs position where the newest slot opened
+    stats: SuffStats  # [] committed, posterior-weighted
+    stats_wt: SuffStats  # [] committed, w^2-weighted (post-lag ESS)
+    ln_norm: jnp.ndarray  # [] accumulated log normalizer (log-likelihood)
+    ln_norm_c: jnp.ndarray  # [] Kahan compensation
+    front: jnp.ndarray  # [] sweep position (f32, chunk-relative)
+    key: jnp.ndarray
+    num_resamples: jnp.ndarray  # [] i32
+
+
+def init_state(
+    key: jnp.ndarray, epochs: Epochs, cfg: PFConfig, sample_pop: np.ndarray, rho: float
+) -> PFState:
+    """Draw the initial particle population (particleContainer.cpp:33-65)."""
+    P = cfg.num_particles
+    E, Pp = epochs.num_epochs, epochs.num_pops
+    k_tree, k_gap, key = jax.random.split(key, 3)
+    trees = make_initial_trees(k_tree, epochs, P, jnp.asarray(sample_pop))
+    treelen = jax.vmap(
+        lambda t, p: jnp.sum(jnp.where(p < 0, 0.0, t[jnp.clip(p, 0, None)] - t))
+    )(trees.time, trees.parent)
+    gap = jax.random.exponential(k_gap, (P,)) / jnp.maximum(rho * treelen, 1e-30)
+    return PFState(
+        trees=trees,
+        log_w=jnp.full((P,), -jnp.log(float(P))),
+        next_rec=gap,
+        fifo=zero_stats(E, Pp, (P, cfg.fifo_slots)),
+        slot_open=jnp.zeros((E,)),
+        stats=zero_stats(E, Pp),
+        stats_wt=zero_stats(E, Pp),
+        ln_norm=jnp.float32(0.0),
+        ln_norm_c=jnp.float32(0.0),
+        front=jnp.float32(0.0),
+        key=key,
+        num_resamples=jnp.int32(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def _tree_summaries(trees: Trees, epochs: Epochs, leaf_status: jnp.ndarray,
+                    has_data: jnp.ndarray):
+    """treelen [P], treelen_e [P, E], data branch length B [P]."""
+    tl_e = jax.vmap(
+        lambda t, p: branch_length_per_epoch(t, p, epochs.start, epochs.end)
+    )(trees.time, trees.parent)
+    tl = jnp.sum(tl_e, axis=1)
+    full_b = jax.vmap(
+        lambda t, p, c: data_branch_length(t, p, c, has_data)
+    )(trees.time, trees.parent, trees.children)
+    B = jnp.where(leaf_status == 1, tl, jnp.where(leaf_status == -1, 0.0, full_b))
+    return tl, tl_e, B
+
+
+def systematic_resample(key: jnp.ndarray, log_w: jnp.ndarray) -> jnp.ndarray:
+    """Doucet-style stratified inverse-CDF resampling
+    (particleContainer.cpp:474-504). Returns [P] ancestor indices."""
+    P = log_w.shape[0]
+    w = jax.nn.softmax(log_w)
+    cum = jnp.cumsum(w)
+    u = jax.random.uniform(key, (), minval=0.0, maxval=1.0)
+    targets = (u + jnp.arange(P, dtype=jnp.float32)) / P
+    return jnp.clip(jnp.searchsorted(cum, targets, side="left"), 0, P - 1).astype(
+        jnp.int32
+    )
+
+
+def _gather_particles(state: PFState, idx: jnp.ndarray) -> PFState:
+    """Ancestry gather: trees + pending FIFO follow the particle."""
+    g = lambda x: jnp.take(x, idx, axis=0)
+    return state._replace(
+        trees=jax.tree_util.tree_map(g, state.trees),
+        fifo=jax.tree_util.tree_map(g, state.fifo),
+        next_rec=g(state.next_rec),
+    )
+
+
+def _commit_slot(state: PFState, rotate_e: jnp.ndarray, slot: int) -> PFState:
+    """Commit the oldest FIFO slot for the epochs in ``rotate_e`` using the
+    particles' current normalized weights (count.cpp:448-555 semantics)."""
+    w = jax.nn.softmax(state.log_w)  # [P]
+
+    def commit(field_fifo, field_glob):
+        # field_fifo: [P, F, E, ...]; contribution from slot `slot`
+        x = field_fifo[:, slot]  # [P, E, ...]
+        wshape = (w.shape[0],) + (1,) * (x.ndim - 1)
+        contrib = jnp.sum(x * w.reshape(wshape), axis=0)  # [E, ...]
+        m = _bcast_epoch(rotate_e, contrib, 0)
+        return field_glob + jnp.where(m, contrib, 0.0)
+
+    def commit_wt(field_fifo, field_glob):
+        x = field_fifo[:, slot]
+        wshape = (w.shape[0],) + (1,) * (x.ndim - 1)
+        contrib = jnp.sum(x * (w**2).reshape(wshape), axis=0)
+        m = _bcast_epoch(rotate_e, contrib, 0)
+        return field_glob + jnp.where(m, contrib, 0.0)
+
+    def rotate(field_fifo):
+        rolled = jnp.roll(field_fifo, 1, axis=1)
+        zeroed = rolled.at[:, 0].set(0.0)
+        m = _bcast_epoch(rotate_e, field_fifo, 2)
+        return jnp.where(m, zeroed, field_fifo)
+
+    stats = jax.tree_util.tree_map(commit, state.fifo, state.stats)
+    stats_wt = jax.tree_util.tree_map(commit_wt, state.fifo, state.stats_wt)
+    fifo = jax.tree_util.tree_map(rotate, state.fifo)
+    return state._replace(stats=stats, stats_wt=stats_wt, fifo=fifo)
+
+
+def flush_pending(state: PFState) -> PFState:
+    """End-of-data flush: commit every pending slot with current weights
+    (count.cpp:366, lag -> 0 at end_data)."""
+    F = state.fifo.coal_opp.shape[1]
+    all_epochs = jnp.ones(state.stats.recomb_opp.shape[0], dtype=bool)
+    for s in range(F - 1, -1, -1):
+        state = _commit_slot(state, all_epochs, s)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# one segment step
+# ---------------------------------------------------------------------------
+
+
+def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate: float, rho: float,
+                      lags: jnp.ndarray):
+    """Build the jittable per-segment scan body.
+
+    Segment input (see segio): length (i32), alleles [n] (i8), state (i8),
+    leaf_status (i8: -1 all-missing / 0 mixed / 1 complete).
+    """
+    P = cfg.num_particles
+    E, Pp = epochs.num_epochs, epochs.num_pops
+    F = cfg.fifo_slots
+    span = lags / jnp.maximum(F - 1, 1)  # per-epoch FIFO slot span
+    mu = jnp.float32(mutation_rate)
+    rho = jnp.float32(rho)
+
+    def step(state: PFState, seg):
+        seg_len, alleles, seg_state, leaf_status = seg
+        L = seg_len.astype(jnp.float32)
+        has_data = alleles >= 0
+
+        # ---- inner recombination loop over the window [front, front+L) ----
+        def summaries(trees):
+            return _tree_summaries(trees, epochs, leaf_status, has_data)
+
+        tl, tl_e, B = summaries(state.trees)
+
+        def cond(carry):
+            (_, _, _, next_rec, upd, _, _, _, _, it) = carry
+            return jnp.any(next_rec < L) & (it < cfg.max_recomb_iters)
+
+        def body(carry):
+            (key, trees, log_w, next_rec, upd, tl, tl_e, B, pending, it) = carry
+            active = next_rec < L
+            delta = jnp.where(active, next_rec - upd, 0.0)
+            # no-mutation likelihood over [upd, next_rec)
+            log_w = log_w - mu * B * delta
+            # recombination opportunity dx * treelen_e (coalevent.hpp:221)
+            pending = pending._replace(
+                recomb_opp=pending.recomb_opp + delta[:, None] * tl_e
+            )
+            # the transition itself
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, P)
+            trees, rec = recombination_transition(keys, trees, epochs, active)
+            pending = pending._replace(
+                coal_opp=pending.coal_opp + rec.coal_opp,
+                coal_cnt=pending.coal_cnt + rec.coal_cnt,
+                mig_opp=pending.mig_opp + rec.mig_opp,
+                recomb_cnt=pending.recomb_cnt + rec.recomb_cnt,
+            )
+            # refresh tree summaries for particles that changed
+            tl2, tl_e2, B2 = summaries(trees)
+            tl = jnp.where(active, tl2, tl)
+            tl_e = jnp.where(active[:, None], tl_e2, tl_e)
+            B = jnp.where(active, B2, B)
+            # draw next recombination position
+            key, sub = jax.random.split(key)
+            gap = jax.random.exponential(sub, (P,)) / jnp.maximum(rho * tl, 1e-30)
+            upd = jnp.where(active, next_rec, upd)
+            next_rec = jnp.where(active, next_rec + gap, next_rec)
+            return (key, trees, log_w, next_rec, upd, tl, tl_e, B, pending, it + 1)
+
+        pending0 = zero_stats(E, Pp, (P,))
+        carry = (
+            state.key,
+            state.trees,
+            state.log_w,
+            state.next_rec,
+            jnp.zeros((P,)),
+            tl,
+            tl_e,
+            B,
+            pending0,
+            jnp.int32(0),
+        )
+        (key, trees, log_w, next_rec, upd, tl, tl_e, B, pending, _) = (
+            jax.lax.while_loop(cond, body, carry)
+        )
+
+        # final extension to the segment end
+        delta = L - upd
+        log_w = log_w - mu * B * delta
+        pending = pending._replace(
+            recomb_opp=pending.recomb_opp + delta[:, None] * tl_e
+        )
+        next_rec = next_rec - L
+
+        # ---- site likelihood at the segment-final position ----------------
+        def with_site(lw):
+            lik = site_likelihood(trees, alleles, mu, cfg.ancestral_aware)
+            return lw + jnp.log(jnp.maximum(lik, 1e-38))
+
+        apply_site = (seg_state == 0) & (leaf_status != -1)  # SEGMENT_INVARIANT
+        log_w = jax.lax.cond(apply_site, with_site, lambda lw: lw, log_w)
+
+        # ---- push pending increments into FIFO slot 0 ---------------------
+        fifo = jax.tree_util.tree_map(
+            lambda f, p: f.at[:, 0].add(p), state.fifo, pending
+        )
+
+        # ---- normalize ----------------------------------------------------
+        delta_ln = jax.scipy.special.logsumexp(log_w)
+        log_w = log_w - delta_ln
+        # Kahan-compensated accumulation (LogL magnitudes reach 1e7+)
+        y = delta_ln - state.ln_norm_c
+        t = state.ln_norm + y
+        ln_norm_c = (t - state.ln_norm) - y
+        ln_norm = t
+
+        front = state.front + L
+        state = state._replace(
+            trees=trees,
+            log_w=log_w,
+            next_rec=next_rec,
+            fifo=fifo,
+            ln_norm=ln_norm,
+            ln_norm_c=ln_norm_c,
+            front=front,
+            key=key,
+        )
+
+        # ---- lagged commit ------------------------------------------------
+        rotate_e = (front - state.slot_open) >= span
+        state = _commit_slot(state, rotate_e, F - 1)
+        state = state._replace(
+            slot_open=jnp.where(rotate_e, front, state.slot_open)
+        )
+
+        # ---- ESS and resampling -------------------------------------------
+        w = jax.nn.softmax(log_w)
+        ess = 1.0 / jnp.sum(w * w)
+
+        def do_resample(state):
+            key, k1, k2 = jax.random.split(state.key, 3)
+            idx = systematic_resample(k1, state.log_w)
+            state = _gather_particles(state, idx)
+            # re-draw next recombination positions for clones; valid for all
+            # by memorylessness of the exponential (particle.cpp:393-436)
+            tl_r = jnp.take(tl, idx, axis=0)
+            gap = jax.random.exponential(k2, (P,)) / jnp.maximum(rho * tl_r, 1e-30)
+            return state._replace(
+                log_w=jnp.full((P,), -jnp.log(float(P))),
+                next_rec=gap,
+                key=key,
+                num_resamples=state.num_resamples + 1,
+            )
+
+        need = (ess < cfg.ess_threshold * P) & (seg_len > 0)
+        state = jax.lax.cond(need, do_resample, lambda s: s, state)
+        return state, ess
+
+    return step
+
+
+def run_block(state: PFState, step_fn, seg_block) -> tuple[PFState, jnp.ndarray]:
+    """Scan the sweep over one block of segments.
+
+    seg_block: (lengths [S] i32, alleles [S, n] i8, states [S] i8,
+    leaf_status [S] i8); zero-length segments are padding no-ops.
+    """
+    return jax.lax.scan(step_fn, state, seg_block)
+
+
+def default_lags(epochs: Epochs, rho: float, lag_fraction: float = 0.0) -> np.ndarray:
+    """Per-epoch lag defaults (count.cpp:230-247): 4 / (rho * top_t), where
+    top_t is the epoch's upper boundary; 20 kb if only one epoch."""
+    E = epochs.num_epochs
+    start = np.asarray(epochs.start)
+    if E == 1:
+        return np.array([20000.0], dtype=np.float32)
+    top = np.append(start[1:], start[-1])
+    lags = 4.0 / (rho * np.maximum(top, 1e-30))
+    return lags.astype(np.float32)

@@ -1,0 +1,82 @@
+"""Statistical end-to-end tests: simulate -> infer -> assert parameter
+recovery within pre-registered intervals (the reference's load-bearing test
+strategy, test/old/newtests/test_generic.py + test_const_pop_size.py), plus
+the no-data invariance gate (test_bias_nodata.py)."""
+
+import numpy as np
+import pytest
+
+from smcsmc_tpu.demography import Demography
+from smcsmc_tpu.em import EMConfig, m_step, run_chunk, run_em
+from smcsmc_tpu.simulate import simulate_seg
+
+
+def const_demo(ne=10000.0, n=2, L=1e6, mu=1e-8, rho=1e-9, epochs=1):
+    if epochs == 1:
+        change = np.array([0.0])
+    else:
+        change = np.concatenate([[0.0], np.logspace(3.3, 4.7, epochs - 1)])
+    return Demography(
+        change_times=change,
+        pop_sizes=np.full((epochs, 1), ne),
+        mig_rates=np.zeros((epochs, 1, 1)),
+        sample_pops=np.zeros(n, dtype=np.int32),
+        mutation_rate=mu,
+        recombination_rate=rho,
+        sequence_length=L,
+    )
+
+
+@pytest.mark.slow
+class TestConstPopSize:
+    def test_single_epoch_recovery(self):
+        """Constant-Ne: inferred Ne from one E-step should be near truth
+        (cf. test_const_pop_size.py:42-49 interval targets)."""
+        truth = 10000.0
+        demo = const_demo(ne=truth, n=2, L=2e6)
+        seg = simulate_seg(demo, seed=21)
+        cfg = EMConfig(num_particles=500, block_size=512)
+        stats, stats_wt, logl, diag = run_chunk(demo, seg, cfg, seed=2)
+        ne_hat = float(stats.coal_opp.sum() / (2.0 * stats.coal_cnt.sum()))
+        assert np.isfinite(logl) and logl < 0
+        assert ne_hat == pytest.approx(truth, rel=0.15)
+        # recombination rate recovery (truth 1e-9)
+        r_hat = float(stats.recomb_cnt.sum() / stats.recomb_opp.sum())
+        assert r_hat == pytest.approx(1e-9, rel=0.4)
+
+    def test_em_iteration_moves_toward_truth(self):
+        """Start from a wrong Ne; one EM iteration must move toward truth."""
+        truth = 10000.0
+        demo_true = const_demo(ne=truth, n=2, L=2e6)
+        seg = simulate_seg(demo_true, seed=22)
+        wrong = const_demo(ne=20000.0, n=2, L=2e6)
+        cfg = EMConfig(num_particles=500, block_size=512)
+        stats, _, _, _ = run_chunk(wrong, seg, cfg, seed=3)
+        updated = m_step(wrong, stats, cfg)
+        ne1 = float(updated.pop_sizes[0, 0])
+        assert abs(ne1 - truth) < abs(20000.0 - truth)
+
+
+@pytest.mark.slow
+class TestNoDataInvariance:
+    def test_posterior_equals_prior_without_data(self):
+        """With all data missing, the sweep must leave the coalescent prior
+        untouched: E-step Ne estimate == prior Ne (test_bias_nodata.py
+        pattern — the key correctness gate for the weighting machinery)."""
+        ne = 10000.0
+        demo = const_demo(ne=ne, n=4, L=1e6)
+        # all-missing data: one segment covering everything
+        from smcsmc_tpu.segio import SegData
+
+        seg = SegData(
+            positions=np.array([1]),
+            lengths=np.array([int(1e6)]),
+            states=np.zeros(1, dtype=np.int8),
+            alleles=np.full((1, 4), -1, dtype=np.int8),
+            phased=np.ones(4, bool),
+        )
+        cfg = EMConfig(num_particles=300, block_size=64, lag=20000.0)
+        stats, _, logl, _ = run_chunk(demo, seg, cfg, seed=4)
+        assert logl == pytest.approx(0.0, abs=1e-3)
+        ne_hat = float(stats.coal_opp.sum() / (2.0 * stats.coal_cnt.sum()))
+        assert ne_hat == pytest.approx(ne, rel=0.1)
