@@ -16,21 +16,25 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from smcsmc_tpu._cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from smcsmc_tpu.demography import Demography
     from smcsmc_tpu.em import EMConfig, prepare_blocks
     from smcsmc_tpu.kernels.tree import epochs_from_demography
     from smcsmc_tpu.simulate import simulate_seg
     from smcsmc_tpu.smc import (
         PFConfig,
+        build_sweep,
         default_lags,
         init_state,
-        make_segment_step,
     )
 
     P = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
     n = 4
     L = 2e6
-    num_epochs = 16
+    num_epochs = 8
     change = np.concatenate([[0.0], np.logspace(2.5, 5.0, num_epochs - 1)])
     demo = Demography(
         change_times=change,
@@ -48,11 +52,12 @@ def main():
     rho = demo.recombination_rate
     lags = jnp.asarray(default_lags(epochs, rho))
     state = init_state(jax.random.PRNGKey(0), epochs, cfg, demo.sample_pops, rho)
-    step = make_segment_step(cfg, epochs, demo.mutation_rate, rho, lags)
+    sweep = build_sweep(cfg)
 
-    run = jax.jit(lambda st, blk: jax.lax.scan(step, st, blk))
+    def run(st, blk):
+        return sweep(st, blk, epochs, demo.mutation_rate, rho, lags)
 
-    blocks = list(prepare_blocks(seg, 1024, int(seg.positions[0])))
+    blocks = list(prepare_blocks(seg, 256, int(seg.positions[0])))
     # warmup/compile on first block
     st, _ = run(state, blocks[0])
     jax.block_until_ready(st.ln_norm)

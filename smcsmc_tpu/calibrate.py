@@ -1,0 +1,138 @@
+"""Lag/delay calibration: median genomic survival distance of tree nodes.
+
+Reference: ``calculate_median_survival_distances`` (smcsmc.cpp:169-263) runs
+a Monte-Carlo pre-pass simulating ARGs along the sequence and measures, per
+epoch, the median distance a coalescent node survives before an SPR removes
+it; ``lag[e] = lag_fraction * median_survival[e]`` and the delayed-IW
+application delays are ``delay * survival`` (smcsmc.cpp:307,
+model->lags_to_application_delays).
+
+Here the same measurement runs on-device: a population of Q genealogies
+advances through the clocked SMC' process; a transition that displaces node
+``p = parent[c]`` ends that node's life, and the survival distance is
+scattered into per-epoch log-spaced histograms from which medians are read.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kernels.transition import recombination_transition
+from .kernels.tree import Epochs, make_initial_trees, total_branch_length
+
+
+def calibrate_survival(
+    key,
+    epochs: Epochs,
+    sample_pop: np.ndarray,
+    rho: float,
+    num_particles: int = 256,
+    distance: float = 2e6,
+    num_windows: int = 20,
+    has_migration: bool = False,
+    num_bins: int = 64,
+) -> np.ndarray:
+    """[E] median survival distance (bp) of nodes whose height falls in each
+    epoch.  Epochs with no observed deaths fall back to the global median."""
+    E = epochs.num_epochs
+    P = num_particles
+    window = distance / num_windows
+    # log-spaced distance bins from 100 bp to 10 * distance
+    bin_edges = jnp.asarray(
+        np.logspace(2, np.log10(distance * 10), num_bins - 1), jnp.float32
+    )
+
+    trees = make_initial_trees(key, epochs, P, jnp.asarray(sample_pop))
+    N = trees.parent.shape[1]
+    k1, k2, key = jax.random.split(key, 3)
+    tl0 = jax.vmap(total_branch_length)(trees.time, trees.parent)
+    next_rec = jax.random.exponential(k1, (P,)) / (rho * tl0)
+    birth = jnp.zeros((P, N))
+    hist = jnp.zeros((E, num_bins), jnp.int32)
+
+    @jax.jit
+    def run_window(carry, _):
+        trees, next_rec, birth, hist, key, x0 = carry
+
+        def cond(c):
+            return jnp.any(c[1] < window)
+
+        def body(c):
+            trees, nr, birth, hist, key, x0 = c
+            active = nr < window
+            key, s1, s2 = jax.random.split(key, 3)
+            keys = jax.random.split(s1, P)
+            pre_time = trees.time
+            pre_parent = trees.parent
+            trees2, rec = recombination_transition(
+                keys, trees, epochs, active, has_migration=has_migration
+            )
+            # node p = parent[c] dies when its height changed (non-noop SPR)
+            rows = jnp.arange(P)
+            p_idx = pre_parent[rows, rec.c_node]
+            p_safe = jnp.clip(p_idx, 0, N - 1)
+            old_t = pre_time[rows, p_safe]
+            new_t = trees2.time[rows, p_safe]
+            died = active & (p_idx >= 0) & (jnp.abs(new_t - old_t) > 1e-3)
+            pos = x0 + nr
+            surv = pos - birth[rows, p_safe]
+            e_old = jnp.clip(
+                jnp.searchsorted(epochs.start, old_t, side="right") - 1, 0, E - 1
+            )
+            b_idx = jnp.searchsorted(bin_edges, surv, side="left")
+            flat = e_old * hist.shape[1] + b_idx
+            upd = jax.ops.segment_sum(
+                died.astype(jnp.int32), flat, num_segments=E * hist.shape[1]
+            ).reshape(E, hist.shape[1])
+            hist = hist + upd
+            # the replacement node (slot p) is born here
+            birth = birth.at[rows, p_safe].set(
+                jnp.where(died, pos, birth[rows, p_safe])
+            )
+            tl = jax.vmap(total_branch_length)(trees2.time, trees2.parent)
+            gap = jax.random.exponential(s2, (P,)) / (rho * tl)
+            nr = jnp.where(active, nr + gap, nr)
+            return trees2, nr, birth, hist, key, x0
+
+        trees, next_rec, birth, hist, key, x0 = jax.lax.while_loop(
+            cond, body, (trees, next_rec, birth, hist, key, x0)
+        )
+        return (trees, next_rec - window, birth, hist, key, x0 + window), None
+
+    carry = (trees, next_rec, birth, hist, k2, jnp.float32(0.0))
+    (trees, next_rec, birth, hist, key, _), _ = jax.lax.scan(
+        run_window, carry, None, length=num_windows
+    )
+
+    h = np.asarray(hist, dtype=np.float64)
+    edges = np.concatenate([[0.0], np.asarray(bin_edges), [distance * 10]])
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    medians = np.zeros(E)
+    all_counts = h.sum(axis=0)
+    global_med = _hist_median(all_counts, centers)
+    for e in range(E):
+        medians[e] = (
+            _hist_median(h[e], centers) if h[e].sum() >= 10 else global_med
+        )
+    return medians
+
+
+def _hist_median(counts: np.ndarray, centers: np.ndarray) -> float:
+    total = counts.sum()
+    if total == 0:
+        return float("nan")
+    cum = np.cumsum(counts)
+    i = int(np.searchsorted(cum, total / 2.0))
+    return float(centers[min(i, len(centers) - 1)])
+
+
+def calibrated_lags_and_delays(
+    key, epochs, sample_pop, rho, lag_fraction=2.0, delay=0.5, **kw
+):
+    """(lags [E], delays [E]) per the reference composition: lag =
+    lag_fraction * survival; application delay = delay * survival."""
+    surv = calibrate_survival(key, epochs, sample_pop, rho, **kw)
+    surv = np.nan_to_num(surv, nan=20000.0)
+    return lag_fraction * surv, delay * surv

@@ -59,6 +59,7 @@ def parse_smc2_args(argv: list[str]):
         "nsam": None,
         "calibrate_lag": 2.0,
         "alpha": 0.0,
+        "bias_heights": None,
     }
     demo_args: list[str] = []
     i = 0
@@ -106,13 +107,24 @@ def parse_smc2_args(argv: list[str]):
         elif o == "-lag":
             cfg.lag = float(take())
         elif o == "-calibrate_lag":
-            io["calibrate_lag"] = float(take())
+            cfg.calibrate_lag = True
+            cfg.lag_fraction = float(take())
         elif o == "-cap":
             cfg.use_cap = True
             cfg.ne_cap = float(take())
         elif o == "-ancestral_aware":
             cfg.ancestral_aware = True
             i += 1
+        elif o == "-dephase":
+            cfg.dephase = True
+            i += 1
+        elif o == "-online":
+            cfg.online = True
+            i += 1
+        elif o == "-xr":
+            io["xr"] = take()  # epoch range excluded from recomb inference
+        elif o == "-xc":
+            io["xc"] = take()  # epoch range excluded from coal inference
         elif o == "-vb":
             cfg.vb = True
             i += 1
@@ -128,7 +140,31 @@ def parse_smc2_args(argv: list[str]):
             cfg.seed = int(take())
         elif o == "-arg":
             io["arg"] = True
+            cfg.record_arg = True
             i += 1
+        elif o == "-record_ess":
+            cfg.record_ess = True
+            i += 1
+        elif o == "-bias_heights":
+            # reference fork flag: heights in units of 4*N0 generations,
+            # first entry typically 0 (pfparam/scrm -bias_heights)
+            i += 1
+            hs = []
+            while i < len(argv) and not argv[i].startswith("-"):
+                hs.append(float(argv[i]))
+                i += 1
+            io["bias_heights"] = hs
+        elif o == "-bias_strengths":
+            i += 1
+            ss = []
+            while i < len(argv) and not argv[i].startswith("-"):
+                ss.append(float(argv[i]))
+                i += 1
+            cfg.bias_strengths = tuple(ss)
+        elif o == "-delay":
+            cfg.delay = float(take())
+        elif o == "-lag_fraction":
+            cfg.lag_fraction = float(take())
         elif o == "-alpha":
             io["alpha"] = float(take())
         elif o == "-smcsmcpath":
@@ -233,8 +269,11 @@ def build_demography(cfg, demo_args, io, seg=None):
 
 
 def smcsmc_main(argv=None):
+    from ._cache import enable_compilation_cache
     from .em import run_em
     from .segio import merge_segs, read_seg
+
+    enable_compilation_cache()
 
     if argv is None:
         argv = sys.argv[1:]
@@ -257,6 +296,10 @@ def smcsmc_main(argv=None):
         seg = read_seg(io["segs"][0])
 
     demo = build_demography(cfg, demo_args, io, seg=seg)
+    if io["bias_heights"]:
+        # convert 4N0 units -> generations; drop a leading 0
+        hs = [h * 4 * io["N0"] for h in io["bias_heights"] if h > 0]
+        cfg.bias_heights = tuple(hs)
     cfg.outdir = io["out"]
     result = run_em(demo, seg, cfg)
     logger.info("final log-likelihoods: %s", result.log_likelihoods)

@@ -25,10 +25,10 @@ from .segio import SegData, slice_seg, split_long_segments
 from .smc import (
     PFConfig,
     SuffStats,
+    build_sweep,
     default_lags,
     flush_pending,
     init_state,
-    make_segment_step,
 )
 
 
@@ -40,9 +40,12 @@ class EMConfig:
     em_iters: int = 0  # number of EM updates (0 = a single E-step pass)
     ess_threshold: float = 0.5
     lag: float = 0.0  # 0 -> per-epoch default 4/(rho*top_t)
+    calibrate_lag: bool = False  # Monte-Carlo survival pre-pass (smcsmc.cpp:169)
     ne_cap: float = 200000.0
     use_cap: bool = False
     ancestral_aware: bool = False
+    dephase: bool = False  # treat phased het pairs as unphased (-dephase)
+    max_phase_configs: int = 8  # cap on enumerated phase configurations
     block_size: int = 2048  # segments per device scan
     fifo_slots: int = 4
     seed: int = 1
@@ -50,8 +53,21 @@ class EMConfig:
     infer_migration: bool = True
     vb: bool = False  # Dirichlet/VB pseudocount smoothing (model.py:997-1001)
     vb_pseudocount: float = 1.0
+    online: bool = False  # online EM (count.cpp:38-50)
+    online_threshold: float = 1e7  # first update at this position
+    online_interval: float = 5e6  # then every interval bp
+    xc_epochs: tuple = ()  # epochs excluded from coalescent updates (-xc)
+    xr_epochs: tuple = ()  # epochs excluded from recombination updates (-xr)
     chunks: int = 1
     outdir: str | None = None
+    record_ess: bool = False  # write .resample ESS trace (pfparam.cpp:530)
+    record_arg: bool = False  # sample one ARG per chunk -> .trees.gz (-arg)
+    # biased sampling (reference -bias_heights/-bias_strengths fork flags;
+    # heights in generations here, converted from 4N0 units by the CLI)
+    bias_heights: tuple = ()  # e.g. (200.0,): sections [0,200), [200,inf)
+    bias_strengths: tuple = ()  # one per section
+    delay: float = 0.5  # delay fraction of survival (pfparam.cpp:223)
+    lag_fraction: float = 2.0  # lag = fraction * survival (pfparam.cpp:222)
 
 
 def prior_pseudostats(demo: Demography):
@@ -84,10 +100,51 @@ def _leaf_status(alleles: np.ndarray) -> np.ndarray:
     return np.where(all_missing, -1, np.where(none_missing, 1, 0)).astype(np.int8)
 
 
-def prepare_blocks(seg: SegData, block_size: int, chunk_start: int):
+def _phase_configs(alleles: np.ndarray, max_configs: int, dephase: bool):
+    """Per-site phase-configuration enumeration (reference:
+    particleContainer.cpp:138-181).  Unphased het pairs (code 2,2 — or any
+    het pair under ``dephase``) contribute a factor 2 of configurations; the
+    site likelihood is the mean over them.  Returns configs [S, C, n] (int8,
+    repeats padded) and n_configs [S]."""
+    S, n = alleles.shape
+    configs = np.repeat(alleles[:, None, :], max_configs, axis=1).astype(np.int8)
+    n_configs = np.ones(S, dtype=np.int32)
+    for s in range(S):
+        al = alleles[s]
+        pairs = []
+        for i in range(0, n - 1, 2):
+            unphased = al[i] == 2 or (
+                dephase and al[i] >= 0 and al[i + 1] >= 0 and al[i] + al[i + 1] == 1
+            )
+            if unphased:
+                pairs.append(i)
+        if not pairs:
+            continue
+        k = min(len(pairs), int(np.log2(max_configs)))
+        n_configs[s] = 2**k
+        for cidx in range(2**k):
+            cfg = al.copy()
+            for b, i in enumerate(pairs[:k]):
+                bit = (cidx >> b) & 1
+                cfg[i], cfg[i + 1] = (0, 1) if bit == 0 else (1, 0)
+            # pairs beyond capacity keep an arbitrary (0,1) assignment
+            for i in pairs[k:]:
+                cfg[i], cfg[i + 1] = 0, 1
+            configs[s, cidx] = cfg
+    return configs, n_configs
+
+
+def prepare_blocks(
+    seg: SegData,
+    block_size: int,
+    chunk_start: int,
+    max_configs: int = 1,
+    dephase: bool = False,
+):
     """Host-side: fixed-shape device blocks from .seg records.
 
-    Positions become chunk-relative; zero-length rows pad the final block."""
+    Positions become chunk-relative; zero-length rows pad the final block.
+    ``max_configs`` > 1 enables unphased-genotype marginalization."""
     S = seg.num_segments
     lengths = seg.lengths.astype(np.int32)
     alleles = seg.alleles.astype(np.int8)
@@ -98,20 +155,24 @@ def prepare_blocks(seg: SegData, block_size: int, chunk_start: int):
     if first_off > 0:
         lengths = lengths.copy()
         lengths[0] = max(int(lengths[0]) - first_off, 0)
+    configs, n_configs = _phase_configs(alleles, max_configs, dephase)
     n_blocks = (S + block_size - 1) // block_size
     pad = n_blocks * block_size - S
     if pad:
+        n = alleles.shape[1]
         lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
-        alleles = np.concatenate(
-            [alleles, np.full((pad, alleles.shape[1]), -1, np.int8)]
-        )
         states = np.concatenate([states, np.full(pad, 2, np.int8)])
         leaf_status = np.concatenate([leaf_status, np.full(pad, -1, np.int8)])
+        configs = np.concatenate(
+            [configs, np.full((pad, max_configs, n), -1, np.int8)]
+        )
+        n_configs = np.concatenate([n_configs, np.ones(pad, np.int32)])
     for b in range(n_blocks):
         sl = slice(b * block_size, (b + 1) * block_size)
         yield (
             jnp.asarray(lengths[sl]),
-            jnp.asarray(alleles[sl]),
+            jnp.asarray(configs[sl]),
+            jnp.asarray(n_configs[sl]),
             jnp.asarray(states[sl]),
             jnp.asarray(leaf_status[sl]),
         )
@@ -147,25 +208,72 @@ def run_chunk(
         ess_threshold=cfg.ess_threshold,
         fifo_slots=cfg.fifo_slots,
         ancestral_aware=cfg.ancestral_aware,
+        has_migration=bool(np.any(demo.mig_rates > 0)),
+        use_bias=bool(cfg.bias_strengths)
+        and any(s != 1.0 for s in cfg.bias_strengths),
+        record_arg=cfg.record_arg,
     )
     rho = demo.recombination_rate
+    delays_cal = None
     if cfg.lag > 0:
         lags = jnp.full((epochs.num_epochs,), cfg.lag, dtype=jnp.float32)
+    elif cfg.calibrate_lag:
+        from .calibrate import calibrated_lags_and_delays
+
+        lags_np, delays_np = calibrated_lags_and_delays(
+            jax.random.PRNGKey(seed + 7919), epochs, demo.sample_pops, rho,
+            lag_fraction=cfg.lag_fraction, delay=cfg.delay,
+            has_migration=bool(np.any(demo.mig_rates > 0)),
+        )
+        lags = jnp.asarray(lags_np, jnp.float32)
+        delays_cal = np.asarray(delays_np, np.float32)
     else:
         lags = jnp.asarray(default_lags(epochs, rho))
 
     key = jax.random.PRNGKey(seed)
-    state = init_state(key, epochs, pfcfg, demo.sample_pops, rho)
-    step = make_segment_step(pfcfg, epochs, demo.mutation_rate, rho, lags)
+    state = init_state(
+        key, epochs, pfcfg, demo.sample_pops, rho, sample_time=demo.sample_times
+    )
+    sweep = build_sweep(pfcfg)
 
-    @jax.jit
-    def run_block_jit(state, block):
-        return jax.lax.scan(step, state, block)
+    bias_heights = bias_strengths = delays = None
+    if pfcfg.use_bias:
+        bias_heights = np.concatenate([[0.0], list(cfg.bias_heights), [3e38]])
+        bias_strengths = np.asarray(cfg.bias_strengths, dtype=np.float32)
+        # application delay = delay_fraction * survival (smcsmc.cpp:307); if
+        # no calibration pre-pass ran, survival ~ lag / lag_fraction
+        delays = (
+            delays_cal
+            if delays_cal is not None
+            else np.asarray(lags) * (cfg.delay / cfg.lag_fraction)
+        )
+
+    # phase-configuration capacity: 1 unless unphased data (or -dephase)
+    has_unphased = bool(np.any(seg.alleles == 2)) or cfg.dephase
+    max_configs = cfg.max_phase_configs if has_unphased else 1
 
     ess_traces = []
-    for block in prepare_blocks(seg, cfg.block_size, chunk_start):
-        state, ess = run_block_jit(state, block)
+    next_update = cfg.online_threshold
+    cur_demo = demo
+    for block in prepare_blocks(
+        seg, cfg.block_size, chunk_start, max_configs=max_configs,
+        dephase=cfg.dephase,
+    ):
+        state, ess = sweep(state, block, epochs, cur_demo.mutation_rate, rho,
+                           lags, bias_heights, bias_strengths, delays)
         ess_traces.append(np.asarray(ess))
+        if cfg.online and float(state.front) > next_update:
+            # online EM (count.cpp:44-63): refresh model rates mid-sweep from
+            # the statistics committed so far.  Rates are traced inputs, so
+            # no recompilation happens.
+            cur_stats = jax.tree_util.tree_map(
+                lambda x, p: np.asarray(x, dtype=np.float64) + p,
+                state.stats, prior_pseudostats(cur_demo),
+            )
+            cur_demo = m_step(cur_demo, cur_stats, cfg)
+            epochs = epochs_from_demography(cur_demo)
+            rho = cur_demo.recombination_rate
+            next_update += cfg.online_interval
 
     state = jax.jit(flush_pending)(state)
 
@@ -183,12 +291,56 @@ def run_chunk(
         "ess": np.concatenate(ess_traces) if ess_traces else np.array([]),
         "final_front": float(state.front),
     }
+    if cfg.record_arg:
+        # sample one particle ~ posterior weight (reference resamples down to
+        # a single particle before printTrees, smcsmc.cpp:395-396)
+        w = np.asarray(jax.nn.softmax(state.log_w))
+        best = int(np.argmax(w))
+        diag["arg"] = {
+            "pos": np.asarray(state.arg_pos[best]),
+            "code": np.asarray(state.arg_code[best]),
+            "time": np.asarray(state.arg_time[best]),
+            "from": np.asarray(state.arg_from[best]),
+            "to": np.asarray(state.arg_to[best]),
+            "desc": np.asarray(state.arg_desc[best]),
+            "n": int(state.arg_n[best]),
+            "start": chunk_start,
+        }
     return stats, stats_wt, logl, diag
 
 
 def sum_stats(stats_list: list[SuffStats]) -> SuffStats:
     """Cross-chunk reduction (model.py:903-910)."""
     return jax.tree_util.tree_map(lambda *xs: sum(xs), *stats_list)
+
+
+def _stats_from_outdata(data, demo: Demography) -> SuffStats:
+    """Rebuild a SuffStats from a parsed .out (for resume, model.py:1120)."""
+    E, Pp = demo.num_epochs, demo.num_populations
+    coal_opp = np.zeros((E, Pp))
+    coal_cnt = np.zeros((E, Pp))
+    mig_opp = np.zeros((E, Pp))
+    mig_cnt = np.zeros((E, Pp, Pp))
+    recomb_opp = np.zeros((E,))
+    recomb_cnt = np.zeros((E,))
+    for key in data:
+        (typ, epoch, frm, to, clump), col = key
+        if col != "Count":
+            continue
+        k0 = (typ, epoch, frm, to, clump)
+        if typ == "Coal" and 0 <= epoch < E and 0 <= frm < Pp:
+            coal_opp[epoch, frm] = data[(k0, "Opp")]
+            coal_cnt[epoch, frm] = data[(k0, "Count")]
+        elif typ == "Migr" and 0 <= epoch < E:
+            mig_opp[epoch, frm] = data[(k0, "Opp")]
+            mig_cnt[epoch, frm, to] = data[(k0, "Count")]
+        elif typ == "Recomb":
+            recomb_opp[0] += data[(k0, "Opp")]
+            recomb_cnt[0] += data[(k0, "Count")]
+    return SuffStats(
+        coal_opp=coal_opp, coal_cnt=coal_cnt, mig_opp=mig_opp,
+        mig_cnt=mig_cnt, recomb_opp=recomb_opp, recomb_cnt=recomb_cnt,
+    )
 
 
 def m_step(
@@ -208,6 +360,10 @@ def m_step(
     ne = 1.0 / (2.0 * np.maximum(rate, 1e-300))
     if cfg.use_cap:
         ne = np.minimum(ne, cfg.ne_cap)
+    # -xc: keep prior sizes in excluded epochs (pfparam.cpp record masks)
+    for e in cfg.xc_epochs:
+        if 0 <= e < ne.shape[0]:
+            ne[e] = demo.pop_sizes[e]
 
     new_mig = demo.mig_rates
     if cfg.infer_migration and demo.num_populations > 1:
@@ -219,8 +375,13 @@ def m_step(
 
     new_rho = demo.recombination_rate
     if cfg.infer_recomb:
-        r_opp = float(np.sum(np.asarray(stats.recomb_opp, dtype=np.float64)))
-        r_cnt = float(np.sum(np.asarray(stats.recomb_cnt, dtype=np.float64)))
+        r_opp_e = np.asarray(stats.recomb_opp, dtype=np.float64).copy()
+        r_cnt_e = np.asarray(stats.recomb_cnt, dtype=np.float64).copy()
+        for e in cfg.xr_epochs:  # -xr: exclude epochs from the aggregate
+            if 0 <= e < r_opp_e.shape[0]:
+                r_opp_e[e] = 0.0
+                r_cnt_e[e] = 0.0
+        r_opp, r_cnt = float(r_opp_e.sum()), float(r_cnt_e.sum())
         if r_opp > 0:
             new_rho = r_cnt / r_opp
 
@@ -254,6 +415,24 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
 
     current = demo
     for it in range(cfg.em_iters + 1):
+        # idempotent resume (model.py:1105-1115): skip finished iterations
+        if cfg.outdir:
+            from .checkpoint import have_outfile, load_iteration
+
+            if have_outfile(cfg.outdir, it):
+                data = load_iteration(cfg.outdir, it)
+                stats = _stats_from_outdata(data, current)
+                with open(
+                    os.path.join(cfg.outdir, f"emiter{it}", "chunkfinal.out")
+                ) as fh:
+                    result.out_text.append(fh.read())
+                logl = data.get((("LogL", -1, -1, -1, -1), "Count"), 0.0)
+                current = m_step(current, stats, cfg)
+                result.demos.append(current)
+                result.stats.append(stats)
+                result.stats_wt.append(stats)
+                result.log_likelihoods.append(logl)
+                continue
         per_chunk = [
             run_chunk(current, seg, cfg, chunk=ch, seed=cfg.seed + 1000 * it + ci)
             for ci, ch in enumerate(chunks)
@@ -262,6 +441,32 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
         stats_wt = sum_stats([pc[1] for pc in per_chunk])
         logl = sum(pc[2] for pc in per_chunk)
         n_resample = sum(pc[3]["num_resamples"] for pc in per_chunk)
+
+        if cfg.record_ess and cfg.outdir:
+            os.makedirs(os.path.join(cfg.outdir, f"emiter{it}"), exist_ok=True)
+            with open(
+                os.path.join(cfg.outdir, f"emiter{it}", "chunkfinal.resample"), "w"
+            ) as fh:
+                pos = 0
+                for ci, pc in enumerate(per_chunk):
+                    for e in pc[3]["ess"]:
+                        fh.write(f"{pos}\t{e}\n")
+                        pos += 1
+
+        if cfg.record_arg and cfg.outdir:
+            from .argout import write_trees
+
+            os.makedirs(os.path.join(cfg.outdir, f"emiter{it}"), exist_ok=True)
+            for ci, pc in enumerate(per_chunk):
+                a = pc[3].get("arg")
+                if a:
+                    write_trees(
+                        os.path.join(
+                            cfg.outdir, f"emiter{it}", f"chunk{ci}.trees.gz"
+                        ),
+                        a["pos"], a["code"], a["time"], a["from"], a["to"],
+                        a["desc"], a["n"], start_position=a["start"],
+                    )
 
         text = outfmt.stats_to_out(
             it,

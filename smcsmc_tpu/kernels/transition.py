@@ -7,19 +7,28 @@ fixed-shape, fully vectorized formulation:
 
 1. sample a recombination point (node ``c``, height ``h_r``) uniformly on the
    local tree (reference ``samplePoint``, particle.cpp:1060; bias weighting
-   enters here later);
+   enters here);
 2. the lineage above the cut re-coalesces with the *original* tree: the
-   coalescence intensity at time t is ``k(t) / (2 Ne(t))`` where ``k(t)``
-   counts branches crossing t (incl. the root's ancestral lineage); landing
-   back on the detached segment of c's own branch regenerates the same tree —
-   this is exactly the SMC' transition (the piece-count of the original and
-   the spliced tree agree everywhere except on the detached segment);
-3. the topology update is a constant-time SPR on the index arrays.
+   coalescence intensity at time t is ``k_same_pop(t) / (2 Ne_pop(t))`` where
+   k counts branches crossing t in the lineage's population (incl. the
+   root's ancestral lineage); landing back on the detached segment of c's own
+   branch regenerates the same tree — exactly the SMC' transition (the
+   lineage count of the original and the spliced tree agree everywhere except
+   on the detached segment);
+3. the topology update is a constant-time SPR on the index arrays, including
+   splitting/merging of per-branch migration-event buffers.
+
+Two walk implementations:
+- migration-free (incl. -ej splits via the epoch pop_map): a single
+  piecewise-hazard inversion — no sequential loop at all;
+- with continuous migration: a bounded event walk (migration changes the
+  lineage's population and therefore its hazard), still batched over the
+  whole population.
 
 Opportunity/event records (reference: particle.cpp:193-302,
-coalevent.hpp:209-244) fall out of the same piecewise decomposition:
-coalescence opportunity = Σ pieces k_same_pop·dt, migration opportunity =
-Σ dt, both scattered into [E, Pp] tensors.
+coalevent.hpp:209-244): coalescence opportunity = Σ pieces k_same·dt,
+migration opportunity = Σ dt, migration events per (from,to), all scattered
+into [E, Pp(,Pp)] tensors.
 """
 
 from __future__ import annotations
@@ -29,7 +38,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .tree import INF, Epochs, Trees, branch_lengths, parent_time
+from .tree import (
+    INF,
+    Epochs,
+    Trees,
+    branch_lengths,
+    branch_pop_at,
+    parent_time,
+    sample_piecewise_exponential,
+)
 
 
 class TransitionRecord(NamedTuple):
@@ -38,9 +55,14 @@ class TransitionRecord(NamedTuple):
     coal_opp: jnp.ndarray  # [E, Pp]
     coal_cnt: jnp.ndarray  # [E, Pp]
     mig_opp: jnp.ndarray  # [E, Pp]
+    mig_cnt: jnp.ndarray  # [E, Pp, Pp]
     recomb_cnt: jnp.ndarray  # [E]
     recomb_height: jnp.ndarray  # scalar h_r
     coal_height: jnp.ndarray  # scalar t_c
+    log_iw: jnp.ndarray  # scalar: log importance weight of the biased point
+    point_strength: jnp.ndarray  # bias strength at the sampled point
+    c_node: jnp.ndarray  # recombining node (for ARG recording)
+    coal_pop: jnp.ndarray  # population of the coalescence
 
 
 def _epoch_index(epoch_start: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -63,66 +85,351 @@ def _sample_recomb_point(key, tree_time, tree_parent):
     return c, h_r
 
 
-def _transition_one(
-    key: jnp.ndarray,
-    parent: jnp.ndarray,
-    time: jnp.ndarray,
-    pop: jnp.ndarray,
-    children: jnp.ndarray,
-    epochs: Epochs,
+def _sample_recomb_point_biased(
+    key, tree_time, tree_parent, bias_heights, bias_strengths
 ):
-    """Single-particle SMC' transition; vmapped by :func:`recombination_transition`."""
+    """Height-biased point sampling (reference: samplePoint +
+    sampleOrMeasureWeightedTree/accumulateBranchLengths,
+    particle.cpp:942-1126): the sampling density on the tree is
+    ``strength(section(y)) / weighted_length`` instead of ``1/length``.
+
+    bias_heights: [S+1] section boundaries (last = INF);
+    bias_strengths: [S] per-section weights.
+
+    Returns (c, h_r, log_iw) where log_iw is the importance weight
+    ``target_density/sampled_density = weighted_length /
+    (length * strength(y))`` — equal to the reference's
+    ``recombination_bias_importance_weight_`` when no guide is active.
+    """
+    N = tree_time.shape[0]
+    S = bias_strengths.shape[0]
+    pt = parent_time(tree_time, tree_parent)
+    lo = jnp.maximum(tree_time[:, None], bias_heights[None, :-1])  # [N, S]
+    hi = jnp.minimum(pt[:, None], bias_heights[None, 1:])
+    seg = jnp.clip(hi - lo, 0.0, None)
+    seg = jnp.where(tree_parent[:, None] < 0, 0.0, seg)
+    wseg = seg * bias_strengths[None, :]
+    flat_w = wseg.reshape(-1)
+    cum = jnp.cumsum(flat_w)
+    weighted_total = cum[-1]
+    plain_total = jnp.sum(seg)
+    u = jax.random.uniform(key, (), minval=1e-7, maxval=1.0 - 1e-7)
+    x = u * weighted_total
+    idx = jnp.clip(jnp.searchsorted(cum, x, side="left"), 0, N * S - 1)
+    c = (idx // S).astype(jnp.int32)
+    s = idx % S
+    prev = jnp.where(idx > 0, cum[jnp.maximum(idx - 1, 0)], 0.0)
+    strength = bias_strengths[s]
+    h_r = lo[c, s] + (x - prev) / jnp.maximum(strength, 1e-30)
+    # IW = (1/L) / (strength/WL)
+    log_iw = (
+        jnp.log(weighted_total)
+        - jnp.log(jnp.maximum(plain_total, 1e-30))
+        - jnp.log(jnp.maximum(strength, 1e-30))
+    )
+    return c, h_r, log_iw, strength
+
+
+# ---------------------------------------------------------------------------
+# re-coalescence walks
+# ---------------------------------------------------------------------------
+
+
+def _walk_fast(key, time, parent, pop, c, h_r, epochs: Epochs):
+    """Migration-free re-coalescence: single piecewise-hazard inversion."""
     N = parent.shape[0]
-    E = epochs.num_epochs
-    Pp = epochs.num_pops
-    k_rec, k_coal, k_tgt = jax.random.split(key, 3)
+    E, Pp = epochs.num_epochs, epochs.num_pops
+    k_coal, k_tgt = jax.random.split(key)
 
-    # ---- 1. recombination point --------------------------------------
-    c, h_r = _sample_recomb_point(k_rec, time, parent)
-
-    # ---- 2. piecewise decomposition ----------------------------------
-    # breakpoints: every node height and epoch start; pieces are constant in
-    # both lineage count and demographic rates.
     b = jnp.sort(jnp.concatenate([time, epochs.start]))  # [I]
     b_end = jnp.append(b[1:], INF)
-    e_idx = _epoch_index(epochs.start, b)  # [I]
+    e_idx = _epoch_index(epochs.start, b)
     pt = parent_time(time, parent)
     crossing = (time[None, :] <= b[:, None]) & (b[:, None] < pt[None, :])  # [I, N]
 
-    # population of each branch / of the floating lineage, per piece (follows
-    # the epoch pop_map, which folds -ej splits)
     mp = epochs.pop_map[e_idx]  # [I, Pp]
     branch_pop = jnp.take_along_axis(
         mp, jnp.broadcast_to(pop[None, :], (b.shape[0], N)), axis=1
-    )  # [I, N]
-    float_pop = jnp.take_along_axis(mp, pop[c][None, None].repeat(b.shape[0], 0), axis=1)[
-        :, 0
-    ]  # [I]
+    )
+    float_pop = jnp.take_along_axis(
+        mp, pop[c][None, None].repeat(b.shape[0], 0), axis=1
+    )[:, 0]
 
     same = crossing & (branch_pop == float_pop[:, None])
-    k_same = jnp.sum(same, axis=1).astype(jnp.float32)  # [I]
-    ne = epochs.ne[e_idx, float_pop]  # [I]
+    k_same = jnp.sum(same, axis=1).astype(jnp.float32)
+    ne = epochs.ne[e_idx, float_pop]
     rate = k_same / (2.0 * ne)
-
-    # ---- 3. coalescence time -----------------------------------------
-    from .tree import sample_piecewise_exponential
 
     u = jax.random.uniform(k_coal, (), minval=1e-7, maxval=1.0 - 1e-7)
     t_c = sample_piecewise_exponential(u, h_r, b, b_end, rate)
-    # guard: hazard diverges above the root, so t_c is finite
     t_c = jnp.minimum(t_c, jnp.float32(0.99 * INF))
 
-    # ---- 4. target branch --------------------------------------------
     e_c = _epoch_index(epochs.start, t_c)
     mp_c = epochs.pop_map[e_c]
     fpop_c = mp_c[pop[c]]
-    cross_c = (time <= t_c) & (t_c < pt) & (mp_c[pop] == fpop_c)  # [N]
+    cross_c = (time <= t_c) & (t_c < pt) & (mp_c[pop] == fpop_c)
     kc = jnp.sum(cross_c)
     r = jax.random.randint(k_tgt, (), 0, jnp.maximum(kc, 1))
     csum = jnp.cumsum(cross_c.astype(jnp.int32)) - 1
     d = jnp.argmax((csum == r) & cross_c).astype(jnp.int32)
 
-    # ---- 5. SPR update -----------------------------------------------
+    ov = jnp.clip(jnp.minimum(b_end, t_c) - jnp.maximum(b, h_r), 0.0, None)
+    ov = jnp.where(jnp.isfinite(ov), ov, 0.0)
+    flat = e_idx * Pp + float_pop
+    coal_opp = jax.ops.segment_sum(k_same * ov, flat, num_segments=E * Pp).reshape(
+        E, Pp
+    )
+    mig_opp = jax.ops.segment_sum(ov, flat, num_segments=E * Pp).reshape(E, Pp)
+    coal_cnt = jnp.zeros((E, Pp)).at[e_c, fpop_c].add(1.0)
+    mig_cnt = jnp.zeros((E, Pp, Pp))
+    new_ev_t = None
+    new_ev_d = None
+    return t_c, d, fpop_c, coal_opp, coal_cnt, mig_opp, mig_cnt, new_ev_t, new_ev_d
+
+
+def _walk_mig(
+    key, time, parent, pop, mig_time, mig_dest, c, h_r, epochs: Epochs, max_events: int
+):
+    """Re-coalescence with continuous migration: bounded event walk.
+
+    Below the root, the floating lineage walks against the tree's branches
+    (whose populations follow their stored migration events).  Above the root
+    the process is the two-lineage pairwise structured coalescent: BOTH the
+    floating lineage and the root's ancestral lineage migrate, and they
+    coalesce when in the same population (the reference simulates this as
+    scrm's two active nodes + PwCoalescence, particle.cpp:1266+ and
+    record_all_event's pairwise weight, particle.cpp:257-259).  The ancestral
+    path above the root is re-simulated fresh at each transition
+    (memoryless), so no migration events are stored above the root.
+    """
+    N = parent.shape[0]
+    E, Pp = epochs.num_epochs, epochs.num_pops
+    Mw = mig_time.shape[1]
+    pt = parent_time(time, parent)
+    root = jnp.argmax(parent < 0).astype(jnp.int32)
+    root_h = time[root]
+    # static breakpoints: node times, epoch starts, all branch migration times
+    bks = jnp.concatenate([time, epochs.start, mig_time.reshape(-1)])
+
+    # the floating lineage starts in branch c's population AT the cut height
+    # (after c's own migration events below h_r)
+    k0 = jnp.sum(mig_time[c] <= h_r)
+    p_raw0 = jnp.where(k0 > 0, mig_dest[c, jnp.maximum(k0 - 1, 0)], pop[c])
+
+    init = dict(
+        key=key,
+        t=h_r,
+        p_raw=p_raw0,
+        r_raw=pop[root],  # root ancestral lineage population (pairwise phase)
+        done=jnp.bool_(False),
+        t_c=jnp.float32(0.0),
+        d=jnp.int32(-1),
+        fpop_c=jnp.int32(0),
+        coal_opp=jnp.zeros((E, Pp)),
+        coal_cnt=jnp.zeros((E, Pp)),
+        mig_opp=jnp.zeros((E, Pp)),
+        mig_cnt=jnp.zeros((E, Pp, Pp)),
+        ev_t=jnp.full((2 * Mw,), INF),
+        ev_d=jnp.zeros((2 * Mw,), jnp.int32),
+        n_ev=jnp.int32(0),
+        rev_t=jnp.full((2 * Mw,), INF),  # root-lineage events (pairwise phase)
+        rev_d=jnp.zeros((2 * Mw,), jnp.int32),
+        n_rev=jnp.int32(0),
+        it=jnp.int32(0),
+    )
+
+    def cond(s):
+        return (~s["done"]) & (s["it"] < max_events)
+
+    def body(s):
+        key, k1, k2, k3, k4 = jax.random.split(s["key"], 5)
+        t = s["t"]
+        e = _epoch_index(epochs.start, t)
+        pm = epochs.pop_map[e]
+        p_cur = pm[s["p_raw"]]
+        r_cur = pm[s["r_raw"]]
+        above_root = t >= root_h
+        bp = branch_pop_at(pop, mig_time, mig_dest, pm, t)  # [N]
+        # the root's ancestral lineage population is dynamic state
+        bp = bp.at[root].set(r_cur)
+        crossing = (time <= t) & (t < pt)
+        k_same = jnp.sum(crossing & (bp == p_cur)).astype(jnp.float32)
+        coal_rate = k_same / (2.0 * epochs.ne[e, p_cur])
+        mig_rate = jnp.sum(epochs.mig[e, p_cur])
+        root_mig_rate = jnp.where(above_root, jnp.sum(epochs.mig[e, r_cur]), 0.0)
+        total = coal_rate + mig_rate + root_mig_rate
+        t_bk = jnp.min(jnp.where(bks > t, bks, INF))
+        u = jax.random.uniform(k1, (), minval=1e-7, maxval=1.0 - 1e-7)
+        dt = jnp.where(total > 0, -jnp.log1p(-u) / jnp.maximum(total, 1e-30), INF)
+        t_next = jnp.minimum(t + dt, t_bk)
+        hit_bk = t + dt >= t_bk
+        # opportunity over [t, t_next): floating lineage always; root lineage
+        # in the pairwise phase (both active nodes record, particle.cpp:251+)
+        span = jnp.clip(t_next - t, 0.0, None)
+        span = jnp.where(jnp.isfinite(span), span, 0.0)
+        coal_opp = s["coal_opp"].at[e, p_cur].add(k_same * span)
+        mig_opp = s["mig_opp"].at[e, p_cur].add(span)
+        mig_opp = mig_opp.at[e, r_cur].add(jnp.where(above_root, span, 0.0))
+
+        def at_bk(s):
+            return {**s, "t": t_bk, "key": key, "it": s["it"] + 1,
+                    "coal_opp": coal_opp, "mig_opp": mig_opp}
+
+        def at_event(s):
+            x = jax.random.uniform(k2) * total
+            is_coal = x < coal_rate
+            is_float_mig = (~is_coal) & (x < coal_rate + mig_rate)
+
+            def coal(s):
+                cand = crossing & (bp == p_cur)
+                kc = jnp.sum(cand)
+                r = jax.random.randint(k3, (), 0, jnp.maximum(kc, 1))
+                csum = jnp.cumsum(cand.astype(jnp.int32)) - 1
+                d = jnp.argmax((csum == r) & cand).astype(jnp.int32)
+                coal_cnt = s["coal_cnt"].at[e, p_cur].add(1.0)
+                return {
+                    **s,
+                    "done": jnp.bool_(True),
+                    "t_c": t_next,
+                    "d": d,
+                    "fpop_c": p_cur,
+                    "coal_cnt": coal_cnt,
+                    "coal_opp": coal_opp,
+                    "mig_opp": mig_opp,
+                    "t": t_next,
+                    "key": key,
+                    "it": s["it"] + 1,
+                }
+
+            def float_mig(s):
+                w = epochs.mig[e, p_cur]
+                dest = jax.random.categorical(
+                    k4, jnp.log(jnp.maximum(w, 1e-30))
+                ).astype(jnp.int32)
+                slot = jnp.minimum(s["n_ev"], 2 * Mw - 1)
+                ev_t = s["ev_t"].at[slot].set(t_next)
+                ev_d = s["ev_d"].at[slot].set(dest)
+                mig_cnt = s["mig_cnt"].at[e, p_cur, dest].add(1.0)
+                return {
+                    **s,
+                    "p_raw": dest,
+                    "ev_t": ev_t,
+                    "ev_d": ev_d,
+                    "n_ev": s["n_ev"] + 1,
+                    "mig_cnt": mig_cnt,
+                    "coal_opp": coal_opp,
+                    "mig_opp": mig_opp,
+                    "t": t_next,
+                    "key": key,
+                    "it": s["it"] + 1,
+                }
+
+            def root_mig(s):
+                w = epochs.mig[e, r_cur]
+                dest = jax.random.categorical(
+                    k4, jnp.log(jnp.maximum(w, 1e-30))
+                ).astype(jnp.int32)
+                mig_cnt = s["mig_cnt"].at[e, r_cur, dest].add(1.0)
+                slot = jnp.minimum(s["n_rev"], 2 * Mw - 1)
+                rev_t = s["rev_t"].at[slot].set(t_next)
+                rev_d = s["rev_d"].at[slot].set(dest)
+                return {
+                    **s,
+                    "r_raw": dest,
+                    "rev_t": rev_t,
+                    "rev_d": rev_d,
+                    "n_rev": s["n_rev"] + 1,
+                    "mig_cnt": mig_cnt,
+                    "coal_opp": coal_opp,
+                    "mig_opp": mig_opp,
+                    "t": t_next,
+                    "key": key,
+                    "it": s["it"] + 1,
+                }
+
+            return jax.lax.cond(
+                is_coal,
+                coal,
+                lambda s: jax.lax.cond(is_float_mig, float_mig, root_mig, s),
+                s,
+            )
+
+        return jax.lax.cond(hit_bk, at_bk, at_event, s)
+
+    s = jax.lax.while_loop(cond, body, init)
+    # if the walk hit the iteration cap without coalescing, coalesce onto the
+    # root lineage at the current time (guarded fallback; should not happen
+    # for sane models)
+    d = jnp.where(s["done"], s["d"], root)
+    t_c = jnp.where(s["done"], s["t_c"], jnp.maximum(s["t"], jnp.max(time)))
+    # the new root's population when coalescing with the ancestral lineage
+    fpop_c = jnp.where(s["done"], s["fpop_c"], s["r_raw"])
+    return (
+        t_c,
+        d,
+        fpop_c,
+        s["coal_opp"],
+        s["coal_cnt"],
+        s["mig_opp"],
+        s["mig_cnt"],
+        s["ev_t"],
+        s["ev_d"],
+        s["rev_t"],
+        s["rev_d"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPR update
+# ---------------------------------------------------------------------------
+
+
+def _replace_in_row(children, node, old, new, N):
+    """children[node][slot == old] = new, guarded for node < 0."""
+    idx = jnp.clip(node, 0, N - 1)
+    row = children[idx]
+    row2 = jnp.where(row == old, new, row)
+    return children.at[idx].set(jnp.where(node >= 0, row2, children[idx]))
+
+
+def _filter_events(ev_t, ev_d, lo, hi):
+    """Keep events with lo <= t < hi; compact left; INF-pad."""
+    keep = (ev_t >= lo) & (ev_t < hi)
+    t2 = jnp.where(keep, ev_t, INF)
+    order = jnp.argsort(t2)
+    return t2[order], jnp.where(keep, ev_d, 0)[order]
+
+
+def _merge_events(t1, d1, t2, d2, M):
+    """Merge two INF-padded sorted event lists, keep the earliest M."""
+    t = jnp.concatenate([t1, t2])
+    d = jnp.concatenate([d1, d2])
+    order = jnp.argsort(t)
+    return t[order][:M], d[order][:M]
+
+
+def _merge_events_base(t1, d1, t2, d2, M, base_pop):
+    """Merge two event lists into capacity M, dropping the *earliest* events
+    on overflow and folding them into the branch's base population — the pop
+    path stays exact above the drop point (the part future coalescences see)
+    and only coarsens below."""
+    t = jnp.concatenate([t1, t2])
+    d = jnp.concatenate([d1, d2])
+    order = jnp.argsort(t)
+    ts, ds = t[order], d[order]
+    k = jnp.sum(ts < INF)
+    drop = jnp.maximum(k - M, 0)
+    new_base = jnp.where(drop > 0, ds[jnp.maximum(drop - 1, 0)], base_pop)
+    idx = jnp.arange(M) + drop
+    return ts[idx], ds[idx], new_base
+
+
+def _apply_spr(
+    parent, time, pop, children, mig_time, mig_dest, c, d, t_c, fpop_c,
+    new_ev_t, new_ev_d, h_r, root_ev_t=None, root_ev_d=None,
+):
+    """Constant-time SPR on the index arrays (+ migration-buffer routing)."""
+    N = parent.shape[0]
     p = parent[c]
     sib = children[jnp.clip(p, 0, N - 1)]
     o = jnp.where(sib[0] == c, sib[1], sib[0])
@@ -133,54 +440,171 @@ def _transition_one(
 
     # splice o up to g
     new_parent = parent.at[o].set(g)
-    g_i = jnp.clip(g, 0, N - 1)
-    g_row = children[g_i]
-    g_row = jnp.where(g_row == p, o, g_row)
-    new_children = children.at[g_i].set(
-        jnp.where(g >= 0, g_row, children[g_i])
-    )
+    new_children = _replace_in_row(children, g, p, o, N)
     # insert node q (reusing slot p) on the branch above d_eff
     new_parent = new_parent.at[d_eff].set(p).at[p].set(gp)
     new_children = new_children.at[p].set(jnp.stack([c, d_eff]))
-    gp_i = jnp.clip(gp, 0, N - 1)
-    gp_row = new_children[gp_i]
-    gp_row = jnp.where(gp_row == d_eff, p, gp_row)
-    new_children = new_children.at[gp_i].set(
-        jnp.where(gp >= 0, gp_row, new_children[gp_i])
-    )
+    new_children = _replace_in_row(new_children, gp, d_eff, p, N)
     new_time = time.at[p].set(t_c)
     new_pop = pop.at[p].set(fpop_c)
 
+    if mig_time is not None:
+        M = mig_time.shape[1]
+        # --- normal SPR event routing ---
+        # c's branch [time[c], t_c): old events below the cut + walk events
+        c_t0, c_d0 = _filter_events(mig_time[c], mig_dest[c], -INF, h_r)
+        c_t, c_d, c_base = _merge_events_base(
+            c_t0, c_d0, new_ev_t, new_ev_d, M, pop[c]
+        )
+        # o's merged branch [time[o], time[g]): o events + p events
+        o_t, o_d, o_base = _merge_events_base(
+            mig_time[o], mig_dest[o], mig_time[jnp.clip(p, 0, N - 1)],
+            mig_dest[jnp.clip(p, 0, N - 1)], M, pop[o],
+        )
+        # d_eff's branch splits at t_c; its upper part becomes q(=p)'s branch.
+        # When d_eff == o the split applies to the just-merged o branch.
+        do_t = jnp.where(d_eff == o, o_t, mig_time[jnp.clip(d_eff, 0, N - 1)])
+        do_d = jnp.where(d_eff == o, o_d, mig_dest[jnp.clip(d_eff, 0, N - 1)])
+        do_base = jnp.where(d_eff == o, o_base, pop[jnp.clip(d_eff, 0, N - 1)])
+        if root_ev_t is not None:
+            # coalescence with the ancestral lineage: the walk's realized
+            # root-lineage migration path becomes the old root's branch events.
+            # Note d == p == root remaps d_eff -> o, so test the ORIGINAL d too.
+            root_old = jnp.argmax(parent < 0).astype(jnp.int32)
+            is_root_tgt = (d == root_old) | (d_eff == root_old)
+            add_t = jnp.where(is_root_tgt, root_ev_t, INF)
+            add_d = jnp.where(is_root_tgt, root_ev_d, 0)
+            do_t, do_d, do_base = _merge_events_base(
+                do_t, do_d, add_t, add_d, M, do_base
+            )
+        dlow_t, dlow_d = _filter_events(do_t, do_d, -INF, t_c)
+        dhigh_t, dhigh_d = _filter_events(do_t, do_d, t_c, INF)
+        nm, nd = mig_time, mig_dest
+        nm = nm.at[o].set(o_t)
+        nd = nd.at[o].set(o_d)
+        nm = nm.at[d_eff].set(dlow_t)
+        nd = nd.at[d_eff].set(dlow_d)
+        nm = nm.at[c].set(c_t)
+        nd = nd.at[c].set(c_d)
+        nm = nm.at[p].set(dhigh_t)
+        nd = nd.at[p].set(dhigh_d)
+        # base-pop adjustments from overflow folding (order matters: d_eff
+        # may equal o, in which case the post-split base wins)
+        new_pop = new_pop.at[o].set(o_base)
+        new_pop = new_pop.at[d_eff].set(do_base)
+        new_pop = new_pop.at[c].set(c_base)
+        # --- self-coalescence: replace c's [h_r, t_c) section with the walk's
+        # events, keep old events outside the window ---
+        cs_lo_t, cs_lo_d = _filter_events(mig_time[c], mig_dest[c], -INF, h_r)
+        cs_hi_t, cs_hi_d = _filter_events(mig_time[c], mig_dest[c], t_c, INF)
+        cs_t, cs_d, cs_base = _merge_events_base(
+            cs_lo_t, cs_lo_d, new_ev_t, new_ev_d, M, pop[c]
+        )
+        cs_t, cs_d, cs_base = _merge_events_base(
+            cs_t, cs_d, cs_hi_t, cs_hi_d, M, cs_base
+        )
+        noop_nm = mig_time.at[c].set(cs_t)
+        noop_nd = mig_dest.at[c].set(cs_d)
+        noop_pop = pop.at[c].set(cs_base)
+        mig_time_f = jnp.where(noop, noop_nm, nm)
+        mig_dest_f = jnp.where(noop, noop_nd, nd)
+    else:
+        mig_time_f = None
+        mig_dest_f = None
+        noop_pop = pop
+
     parent_f = jnp.where(noop, parent, new_parent)
     time_f = jnp.where(noop, time, new_time)
-    pop_f = jnp.where(noop, pop, new_pop)
+    pop_f = jnp.where(noop, noop_pop, new_pop)
     children_f = jnp.where(noop, children, new_children)
+    if mig_time is not None:
+        # prune the root's ancestral-lineage events: the path above the root
+        # is re-simulated fresh by every walk (memoryless), so storing it
+        # would only accumulate stale history unboundedly
+        root_f = jnp.argmax(parent_f < 0).astype(jnp.int32)
+        mig_time_f = mig_time_f.at[root_f].set(INF)
+        mig_dest_f = mig_dest_f.at[root_f].set(0)
+    return parent_f, time_f, pop_f, children_f, mig_time_f, mig_dest_f
 
-    # ---- 6. opportunity / event records ------------------------------
-    ov = jnp.clip(jnp.minimum(b_end, t_c) - jnp.maximum(b, h_r), 0.0, None)
-    ov = jnp.where(jnp.isfinite(ov), ov, 0.0)
-    flat = e_idx * Pp + float_pop
-    coal_opp = jax.ops.segment_sum(k_same * ov, flat, num_segments=E * Pp).reshape(
-        E, Pp
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def _transition_one(
+    key: jnp.ndarray,
+    parent: jnp.ndarray,
+    time: jnp.ndarray,
+    pop: jnp.ndarray,
+    mig_time,
+    mig_dest,
+    children: jnp.ndarray,
+    epochs: Epochs,
+    has_migration: bool,
+    max_events: int,
+    bias_heights=None,
+    bias_strengths=None,
+):
+    E = epochs.num_epochs
+    k_rec, k_walk = jax.random.split(key)
+    if bias_strengths is not None:
+        c, h_r, log_iw, strength = _sample_recomb_point_biased(
+            k_rec, time, parent, bias_heights, bias_strengths
+        )
+    else:
+        c, h_r = _sample_recomb_point(k_rec, time, parent)
+        log_iw = jnp.float32(0.0)
+        strength = jnp.float32(1.0)
+
+    if has_migration:
+        (t_c, d, fpop_c, coal_opp, coal_cnt, mig_opp, mig_cnt, ev_t, ev_d,
+         rev_t, rev_d) = _walk_mig(
+            k_walk, time, parent, pop, mig_time, mig_dest, c, h_r, epochs,
+            max_events,
+        )
+    else:
+        (t_c, d, fpop_c, coal_opp, coal_cnt, mig_opp, mig_cnt, ev_t, ev_d) = (
+            _walk_fast(k_walk, time, parent, pop, c, h_r, epochs)
+        )
+        rev_t = rev_d = None
+        if mig_time is not None:
+            Mw = mig_time.shape[1]
+            ev_t = jnp.full((Mw,), INF)
+            ev_d = jnp.zeros((Mw,), jnp.int32)
+
+    parent_f, time_f, pop_f, children_f, mig_time_f, mig_dest_f = _apply_spr(
+        parent, time, pop, children, mig_time, mig_dest, c, d, t_c, fpop_c,
+        ev_t, ev_d, h_r, rev_t, rev_d,
     )
-    mig_opp = jax.ops.segment_sum(ov, flat, num_segments=E * Pp).reshape(E, Pp)
-    coal_cnt = jnp.zeros((E, Pp)).at[e_c, fpop_c].add(1.0)
+
     e_r = _epoch_index(epochs.start, h_r)
     recomb_cnt = jnp.zeros((E,)).at[e_r].add(1.0)
-
     rec = TransitionRecord(
         coal_opp=coal_opp,
         coal_cnt=coal_cnt,
         mig_opp=mig_opp,
+        mig_cnt=mig_cnt,
         recomb_cnt=recomb_cnt,
         recomb_height=h_r,
         coal_height=t_c,
+        log_iw=log_iw,
+        point_strength=strength,
+        c_node=c,
+        coal_pop=fpop_c,
     )
-    return (parent_f, time_f, pop_f, children_f), rec
+    return (parent_f, time_f, pop_f, children_f, mig_time_f, mig_dest_f), rec
 
 
 def recombination_transition(
-    keys: jnp.ndarray, trees: Trees, epochs: Epochs, active: jnp.ndarray
+    keys: jnp.ndarray,
+    trees: Trees,
+    epochs: Epochs,
+    active: jnp.ndarray,
+    has_migration: bool = False,
+    max_events: int = 64,
+    bias_heights=None,
+    bias_strengths=None,
 ):
     """Apply one masked SMC' transition to every active particle.
 
@@ -188,19 +612,37 @@ def recombination_transition(
     inside the current update window; inactive particles pass through
     untouched and record zeros.
     """
+    has_mig_arrays = trees.mig_time is not None
 
-    def one(key, parent, time, pop, children, act):
-        (pf, tf, popf, cf), rec = _transition_one(
-            key, parent, time, pop, children, epochs
+    def one(key, parent, time, pop, children, mig_time, mig_dest, act):
+        (pf, tf, popf, cf, mtf, mdf), rec = _transition_one(
+            key, parent, time, pop, mig_time, mig_dest, children, epochs,
+            has_migration, max_events, bias_heights, bias_strengths,
         )
         pf = jnp.where(act, pf, parent)
         tf = jnp.where(act, tf, time)
         popf = jnp.where(act, popf, pop)
         cf = jnp.where(act, cf, children)
-        rec = jax.tree_util.tree_map(lambda x: jnp.where(act, x, 0.0), rec)
-        return (pf, tf, popf, cf), rec
+        if mtf is not None:
+            mtf = jnp.where(act, mtf, mig_time)
+            mdf = jnp.where(act, mdf, mig_dest)
+        rec = jax.tree_util.tree_map(
+            lambda x: jnp.where(act, x, jnp.zeros_like(x)), rec
+        )
+        return (pf, tf, popf, cf, mtf, mdf), rec
 
-    (pf, tf, popf, cf), rec = jax.vmap(one)(
-        keys, trees.parent, trees.time, trees.pop, trees.children, active
+    if has_mig_arrays:
+        (pf, tf, popf, cf, mtf, mdf), rec = jax.vmap(one)(
+            keys, trees.parent, trees.time, trees.pop, trees.children,
+            trees.mig_time, trees.mig_dest, active,
+        )
+    else:
+        (pf, tf, popf, cf, mtf, mdf), rec = jax.vmap(
+            lambda k, p, t, po, ch, a: one(k, p, t, po, ch, None, None, a)
+        )(keys, trees.parent, trees.time, trees.pop, trees.children, active)
+    return (
+        Trees(
+            parent=pf, time=tf, pop=popf, children=cf, mig_time=mtf, mig_dest=mdf
+        ),
+        rec,
     )
-    return Trees(parent=pf, time=tf, pop=popf, children=cf), rec

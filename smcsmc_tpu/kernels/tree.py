@@ -30,12 +30,19 @@ class Trees(NamedTuple):
     time     : [P, N] f32 — node height (generations)
     pop      : [P, N] i32 — population of the lineage at the node's own time
     children : [P, N, 2] i32 — child indices, -1 for leaves
+    mig_time : [P, N, M] f32 — migration-event times on the branch above each
+               node, ascending, INF-padded (None for migration-free models)
+    mig_dest : [P, N, M] i32 — destination population of each event
+               (backwards in time; scrm stores these as unary Nodes with
+               ``is_migrating()``, SURVEY.md §2.3)
     """
 
     parent: jnp.ndarray
     time: jnp.ndarray
     pop: jnp.ndarray
     children: jnp.ndarray
+    mig_time: jnp.ndarray = None
+    mig_dest: jnp.ndarray = None
 
     @property
     def num_nodes(self) -> int:
@@ -44,6 +51,29 @@ class Trees(NamedTuple):
     @property
     def num_leaves(self) -> int:
         return (self.num_nodes + 1) // 2
+
+
+def branch_pop_at(
+    tree_pop: jnp.ndarray,
+    mig_time: jnp.ndarray,
+    mig_dest: jnp.ndarray,
+    pop_map_e: jnp.ndarray,
+    t: jnp.ndarray,
+) -> jnp.ndarray:
+    """[N] population of each branch (the lineage above each node) at time t,
+    accounting for that branch's migration events below t and the epoch's
+    -ej relabeling."""
+    if mig_time is None:
+        return pop_map_e[tree_pop]
+    k = jnp.sum(mig_time <= t, axis=-1)  # [N] events applied
+    last = jnp.where(
+        k > 0,
+        jnp.take_along_axis(
+            mig_dest, jnp.maximum(k - 1, 0)[:, None], axis=-1
+        )[:, 0],
+        tree_pop,
+    )
+    return pop_map_e[last]
 
 
 class Epochs(NamedTuple):
@@ -185,14 +215,15 @@ def data_branch_length(
 def descendant_bitmask(
     tree_children: jnp.ndarray, tree_time: jnp.ndarray
 ) -> jnp.ndarray:
-    """[N] u64 bitmask of sample leaves below each node (reference:
-    src/descendants.hpp:22-33)."""
+    """[N] u32 bitmask of sample leaves below each node (reference:
+    src/descendants.hpp:22-33 uses u64; u32 here keeps the kernel x64-free
+    on TPU, capping ARG descendant recording at 32 leaves)."""
     N = tree_time.shape[0]
     n = (N + 1) // 2
     mask = jnp.concatenate(
         [
-            (jnp.uint64(1) << jnp.arange(n, dtype=jnp.uint64)),
-            jnp.zeros(n - 1, dtype=jnp.uint64),
+            (jnp.uint32(1) << jnp.arange(n, dtype=jnp.uint32)),
+            jnp.zeros(n - 1, dtype=jnp.uint32),
         ]
     )
     order = jnp.argsort(tree_time[n:]) + n
@@ -246,92 +277,187 @@ def sample_piecewise_exponential(
 
 
 def _sample_initial_tree(
-    key: jnp.ndarray, epochs: Epochs, n: int, sample_pop: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Single-particle structured-coalescent tree draw (no continuous
-    migration inside the draw yet: lineage populations follow the epoch
-    pop_map, which covers single-pop and clean-split models; migration in the
-    prior draw arrives with the migration transition kernel)."""
+    key: jnp.ndarray,
+    epochs: Epochs,
+    n: int,
+    sample_pop: jnp.ndarray,
+    sample_time: jnp.ndarray,
+    max_mig: int,
+    max_iters: int,
+) -> tuple:
+    """Single-particle structured-coalescent draw: event-driven walk over
+    {epoch boundary, sample activation, migration, coalescence} events with
+    per-branch migration-event recording.  Replaces scrm's
+    ``buildInitialTree`` (used at particleContainer.cpp:33-65)."""
     N = 2 * n - 1
+    E = epochs.num_epochs
+    Pp = epochs.num_pops
     parent = jnp.full((N,), NO_NODE, dtype=jnp.int32)
-    time = jnp.zeros((N,), dtype=jnp.float32)
+    time = jnp.concatenate([sample_time.astype(jnp.float32), jnp.zeros(n - 1)])
     pop = jnp.concatenate([sample_pop, jnp.zeros(n - 1, jnp.int32)])
     children = jnp.full((N, 2), NO_NODE, dtype=jnp.int32)
-    active = jnp.arange(n, dtype=jnp.int32)  # slots 0..k-1 valid
+    mig_time = jnp.full((N, max_mig), INF, dtype=jnp.float32)
+    mig_dest = jnp.zeros((N, max_mig), dtype=jnp.int32)
+    # slot arrays over leaves+merges: node id / alive / current raw pop
+    node_id = jnp.arange(n, dtype=jnp.int32)
+    alive = sample_time <= 0.0
+    cur_pop = sample_pop.astype(jnp.int32)
+    state = dict(
+        key=key,
+        parent=parent,
+        time=time,
+        pop=pop,
+        children=children,
+        mig_time=mig_time,
+        mig_dest=mig_dest,
+        node_id=node_id,
+        alive=alive,
+        cur_pop=cur_pop,
+        t=jnp.float32(0.0),
+        next_id=jnp.int32(n),
+        it=jnp.int32(0),
+    )
 
-    E = epochs.num_epochs
-    ep_start, ep_end = epochs.start, epochs.end
-
-    def body(s, carry):
-        key, parent, time, pop, children, active, t = carry
-        k = n - s
-        key, k1, k2, k3 = jax.random.split(key, 4)
-        # populations of active lineages in this epoch regime
-        kf = jnp.float32(k)
-        # single-pop rate per epoch: C(k,2) / (2 Ne_e); multi-pop lineages are
-        # mapped through pop_map per epoch.  For the common single/merged case
-        # we use pairwise counts per population.
-        act_mask = jnp.arange(n) < k
-        act_pop = jnp.where(act_mask, pop[jnp.clip(active, 0, N - 1)], -1)
-
-        def epoch_rate(e):
-            pm = epochs.pop_map[e]
-            mapped = jnp.where(act_pop >= 0, pm[jnp.clip(act_pop, 0, None)], -1)
-            counts = jnp.sum(
-                (mapped[None, :] == jnp.arange(epochs.num_pops)[:, None]), axis=1
-            ).astype(jnp.float32)
-            return jnp.sum(counts * (counts - 1) / 2.0 / (2.0 * epochs.ne[e]))
-
-        rates = jax.vmap(epoch_rate)(jnp.arange(E))
-        u = jax.random.uniform(k1, (), minval=1e-7, maxval=1.0 - 1e-7)
-        t_new = sample_piecewise_exponential(u, t, ep_start, ep_end, rates)
-        # choose a population for the coalescence proportional to its pair rate
-        e_new = jnp.clip(
-            jnp.searchsorted(ep_start, t_new, side="right") - 1, 0, E - 1
+    def cond(s):
+        return (jnp.sum(s["alive"]) + jnp.sum(sample_time > s["t"]) > 1) & (
+            s["it"] < max_iters
         )
-        pm = epochs.pop_map[e_new]
-        mapped = jnp.where(act_pop >= 0, pm[jnp.clip(act_pop, 0, None)], -1)
-        counts = jnp.sum(
-            (mapped[None, :] == jnp.arange(epochs.num_pops)[:, None]), axis=1
-        ).astype(jnp.float32)
-        pop_w = counts * (counts - 1) / (2.0 * epochs.ne[e_new])
-        cpop = jax.random.categorical(k2, jnp.log(jnp.maximum(pop_w, 1e-30)))
-        # choose two distinct active lineages from that population
-        in_pop = (mapped == cpop) & act_mask
-        m = jnp.sum(in_pop)
-        r1 = jax.random.randint(k3, (), 0, jnp.maximum(m, 1))
-        key, k4 = jax.random.split(key)
-        r2 = jax.random.randint(k4, (), 0, jnp.maximum(m - 1, 1))
-        r2 = jnp.where(r2 >= r1, r2 + 1, r2)
-        csum = jnp.cumsum(in_pop.astype(jnp.int32)) - 1
-        slot1 = jnp.argmax(csum == r1)
-        slot2 = jnp.argmax(csum == r2)
-        a, b = active[slot1], active[slot2]
-        m_id = jnp.int32(n + s)
-        parent = parent.at[a].set(m_id).at[b].set(m_id)
-        children = children.at[m_id, 0].set(a).at[m_id, 1].set(b)
-        time = time.at[m_id].set(t_new)
-        pop = pop.at[m_id].set(cpop)
-        # compact active set: slot1 <- merged node, slot2 <- last active
-        lo = jnp.minimum(slot1, slot2)
-        hi = jnp.maximum(slot1, slot2)
-        active = active.at[lo].set(m_id)
-        active = active.at[hi].set(active[k - 1])
-        return key, parent, time, pop, children, active, t_new
 
-    carry = (key, parent, time, pop, children, active, jnp.float32(0.0))
-    _, parent, time, pop, children, _, _ = jax.lax.fori_loop(0, n - 1, body, carry)
-    return parent, time, pop, children
+    def body(s):
+        key, k1, k2, k3, k4 = jax.random.split(s["key"], 5)
+        t = s["t"]
+        e = jnp.clip(jnp.searchsorted(epochs.start, t, side="right") - 1, 0, E - 1)
+        pm = epochs.pop_map[e]
+        mapped = jnp.where(s["alive"], pm[s["cur_pop"]], -1)
+        counts = jnp.sum(
+            mapped[None, :] == jnp.arange(Pp)[:, None], axis=1
+        ).astype(jnp.float32)
+        coal_rates = counts * (counts - 1) / 2.0 / (2.0 * epochs.ne[e])  # [Pp]
+        mig_out = jnp.sum(epochs.mig[e], axis=1)  # [Pp] total out-rate
+        lin_mig = jnp.where(s["alive"], mig_out[pm[s["cur_pop"]]], 0.0)  # [n]
+        total = jnp.sum(coal_rates) + jnp.sum(lin_mig)
+        # next breakpoint: epoch end or next sample activation
+        e_end = jnp.where(e + 1 < E, epochs.start[jnp.minimum(e + 1, E - 1)], INF)
+        future = jnp.where(sample_time > t, sample_time.astype(jnp.float32), INF)
+        t_bk = jnp.minimum(e_end, jnp.min(future))
+        u = jax.random.uniform(k1, (), minval=1e-7, maxval=1.0 - 1e-7)
+        dt = jnp.where(total > 0, -jnp.log1p(-u) / jnp.maximum(total, 1e-30), INF)
+        hit_bk = t + dt >= t_bk
+
+        def at_breakpoint(s):
+            # activate any samples at t_bk
+            act = jnp.isclose(sample_time.astype(jnp.float32), t_bk)
+            return {
+                **s,
+                "alive": s["alive"] | act,
+                "t": t_bk,
+                "key": key,
+                "it": s["it"] + 1,
+            }
+
+        def at_event(s):
+            t_new = t + dt
+            # choose coalescence-in-pop vs per-lineage migration
+            weights = jnp.concatenate([coal_rates, lin_mig])
+            idx = jax.random.categorical(k2, jnp.log(jnp.maximum(weights, 1e-30)))
+
+            def coalesce(s):
+                cpop = idx
+                in_pop = (mapped == cpop) & s["alive"]
+                m = jnp.sum(in_pop)
+                r1 = jax.random.randint(k3, (), 0, jnp.maximum(m, 1))
+                r2 = jax.random.randint(k4, (), 0, jnp.maximum(m - 1, 1))
+                r2 = jnp.where(r2 >= r1, r2 + 1, r2)
+                csum = jnp.cumsum(in_pop.astype(jnp.int32)) - 1
+                slot1 = jnp.argmax((csum == r1) & in_pop)
+                slot2 = jnp.argmax((csum == r2) & in_pop)
+                a, b = s["node_id"][slot1], s["node_id"][slot2]
+                m_id = s["next_id"]
+                parent = s["parent"].at[a].set(m_id).at[b].set(m_id)
+                children = s["children"].at[m_id, 0].set(a).at[m_id, 1].set(b)
+                time = s["time"].at[m_id].set(t_new)
+                pop = s["pop"].at[m_id].set(cpop)
+                node_id = s["node_id"].at[slot1].set(m_id)
+                alive = s["alive"].at[slot2].set(False)
+                cur_pop = s["cur_pop"].at[slot1].set(cpop)
+                return {
+                    **s,
+                    "parent": parent,
+                    "children": children,
+                    "time": time,
+                    "pop": pop,
+                    "node_id": node_id,
+                    "alive": alive,
+                    "cur_pop": cur_pop,
+                    "next_id": m_id + 1,
+                    "t": t_new,
+                    "key": key,
+                    "it": s["it"] + 1,
+                }
+
+            def migrate(s):
+                slot = idx - Pp
+                src = pm[s["cur_pop"][slot]]
+                w = epochs.mig[e, src]
+                dest = jax.random.categorical(
+                    k3, jnp.log(jnp.maximum(w, 1e-30))
+                ).astype(jnp.int32)
+                node = s["node_id"][slot]
+                cnt = jnp.sum(s["mig_time"][node] < INF)
+                cnt = jnp.minimum(cnt, max_mig - 1)
+                mig_time = s["mig_time"].at[node, cnt].set(t_new)
+                mig_dest = s["mig_dest"].at[node, cnt].set(dest)
+                cur_pop = s["cur_pop"].at[slot].set(dest)
+                return {
+                    **s,
+                    "mig_time": mig_time,
+                    "mig_dest": mig_dest,
+                    "cur_pop": cur_pop,
+                    "t": t_new,
+                    "key": key,
+                    "it": s["it"] + 1,
+                }
+
+            return jax.lax.cond(idx < Pp, coalesce, migrate, s)
+
+        return jax.lax.cond(hit_bk, at_breakpoint, at_event, s)
+
+    s = jax.lax.while_loop(cond, body, state)
+    return (
+        s["parent"],
+        s["time"],
+        s["pop"],
+        s["children"],
+        s["mig_time"],
+        s["mig_dest"],
+    )
 
 
 def make_initial_trees(
-    key: jnp.ndarray, epochs: Epochs, num_particles: int, sample_pop: jnp.ndarray
+    key: jnp.ndarray,
+    epochs: Epochs,
+    num_particles: int,
+    sample_pop: jnp.ndarray,
+    sample_time: jnp.ndarray | None = None,
+    max_mig: int = 16,
+    max_iters: int = 256,
 ) -> Trees:
     """Draw the initial particle population of genealogies at sequence
     position 0 (reference: particleContainer.cpp:33-65)."""
     n = sample_pop.shape[0]
+    if sample_time is None:
+        sample_time = jnp.zeros((n,), dtype=jnp.float32)
     keys = jax.random.split(key, num_particles)
-    parent, time, pop, children = jax.vmap(
-        lambda k: _sample_initial_tree(k, epochs, n, sample_pop)
+    parent, time, pop, children, mig_time, mig_dest = jax.vmap(
+        lambda k: _sample_initial_tree(
+            k, epochs, n, sample_pop, sample_time, max_mig, max_iters
+        )
     )(keys)
-    return Trees(parent=parent, time=time, pop=pop, children=children)
+    return Trees(
+        parent=parent,
+        time=time,
+        pop=pop,
+        children=children,
+        mig_time=mig_time,
+        mig_dest=mig_dest,
+    )

@@ -2,11 +2,12 @@
 ``scrm`` binary (CMakeLists.txt:77; used for test data at
 populationmodels.py:439-500).
 
-A deliberately independent numpy implementation of the coalescent + SMC'
-process (piecewise-constant structured demography, recombination along the
-sequence, infinite-sites mutations), so that the JAX inference kernels are
-validated against separately-written code.  Output is .seg data
-(convert_scrm_to_seg format, populationmodels.py:502-577).
+A deliberately independent numpy implementation of the structured coalescent
++ SMC' process (piecewise-constant demography, continuous migration,
+population splits, recombination along the sequence, infinite-sites
+mutations), so that the JAX inference kernels are validated against
+separately-written code.  Output is .seg data (convert_scrm_to_seg format,
+populationmodels.py:502-577).
 """
 
 from __future__ import annotations
@@ -18,7 +19,10 @@ from .segio import SegData
 
 
 class _Sim:
-    """One genealogy under SMC' along the sequence (numpy, single instance)."""
+    """One genealogy under SMC' along the sequence (numpy, single instance).
+
+    Per-branch migration events are kept as python lists of (time, dest)
+    on the branch above each node (ascending)."""
 
     def __init__(self, demo: Demography, rng: np.random.Generator):
         self.demo = demo
@@ -30,7 +34,9 @@ class _Sim:
         self.time = np.zeros(N)
         self.pop = np.zeros(N, dtype=np.int64)
         self.children = np.full((N, 2), -1, dtype=np.int64)
+        self.mig_events: list[list[tuple[float, int]]] = [[] for _ in range(N)]
         self.pop[:n] = demo.sample_pops
+        self.time[:n] = demo.sample_times
         self._pop_map = demo.pop_map_at_epoch()
         self._build_initial()
 
@@ -39,87 +45,96 @@ class _Sim:
     def _epoch(self, t: float) -> int:
         return self.demo.epoch_of(t)
 
-    def _mapped_pop(self, raw_pop: int, t: float) -> int:
+    def _map(self, raw_pop: int, t: float) -> int:
         return int(self._pop_map[self._epoch(t), raw_pop])
+
+    def branch_pop(self, node: int, t: float) -> int:
+        """Population of the branch above `node` at time t."""
+        p = int(self.pop[node])
+        for et, dest in self.mig_events[node]:
+            if et <= t:
+                p = dest
+            else:
+                break
+        return self._map(p, t)
 
     # -- initial tree -------------------------------------------------------
 
     def _build_initial(self):
         demo = self.demo
         n = self.n
-        active = list(range(n))
-        pops = [int(p) for p in demo.sample_pops]
+        # slots: (node_id, cur_raw_pop); inactive ancient samples join later
+        slots = [[i, int(demo.sample_pops[i])] for i in range(n)]
+        alive = [demo.sample_times[i] <= 0.0 for i in range(n)]
         t = 0.0
         next_id = n
         ct = demo.change_times
-        while len(active) > 1:
-            # piecewise-constant total pair rate (plus migration)
+        while sum(alive) + sum(1 for i in range(n) if demo.sample_times[i] > t) > 1:
             e = self._epoch(t)
-            while True:
-                pm = self._pop_map[e]
-                mapped = [int(pm[p]) for p in pops]
-                rates = []
-                for p in range(demo.num_populations):
-                    k = mapped.count(p)
-                    rates.append(k * (k - 1) / 2.0 / (2.0 * demo.pop_sizes[e, p]))
-                mig_out = [
-                    float(np.sum(demo.mig_rates[e, pm[pops[i]]]))
-                    for i in range(len(active))
-                ]
-                total = sum(rates) + sum(mig_out)
-                e_end = ct[e + 1] if e + 1 < len(ct) else np.inf
-                if total <= 0:
-                    t = e_end
-                    e += 1
-                    continue
-                dt = self.rng.exponential(1.0 / total)
-                if t + dt < e_end:
-                    t = t + dt
-                    break
-                t = e_end
-                e += 1
-            # choose event
+            pm = self._pop_map[e]
+            live = [i for i in range(len(slots)) if alive[i]]
+            mapped = [int(pm[slots[i][1]]) for i in live]
+            rates = []
+            for p in range(demo.num_populations):
+                k = mapped.count(p)
+                rates.append(k * (k - 1) / 2.0 / (2.0 * demo.pop_sizes[e, p]))
+            mig_out = [float(np.sum(demo.mig_rates[e, mp])) for mp in mapped]
+            total = sum(rates) + sum(mig_out)
+            e_end = ct[e + 1] if e + 1 < len(ct) else np.inf
+            future = [
+                demo.sample_times[i]
+                for i in range(n)
+                if demo.sample_times[i] > t
+            ]
+            t_bk = min(e_end, min(future) if future else np.inf)
+            dt = self.rng.exponential(1.0 / total) if total > 0 else np.inf
+            if t + dt >= t_bk:
+                t = t_bk
+                for i in range(n):
+                    if abs(demo.sample_times[i] - t_bk) < 1e-9:
+                        alive[i] = True
+                continue
+            t = t + dt
             u = self.rng.uniform() * total
             acc = 0.0
-            event = None
+            chosen = None
             for p in range(demo.num_populations):
                 acc += rates[p]
                 if u < acc:
-                    event = ("coal", p)
+                    chosen = ("coal", p)
                     break
-            if event is None:
-                for i in range(len(active)):
-                    acc += mig_out[i]
+            if chosen is None:
+                for idx, i in enumerate(live):
+                    acc += mig_out[idx]
                     if u < acc:
-                        event = ("mig", i)
+                        chosen = ("mig", i)
                         break
-            if event is None:
-                event = ("coal", int(np.argmax(rates)))
-            if event[0] == "mig":
-                i = event[1]
-                src = int(self._pop_map[e, pops[i]])
+            if chosen is None:
+                chosen = ("coal", int(np.argmax(rates)))
+            if chosen[0] == "mig":
+                i = chosen[1]
+                src = int(pm[slots[i][1]])
                 w = demo.mig_rates[e, src].copy()
                 w[src] = 0
-                dest = self.rng.choice(demo.num_populations, p=w / w.sum())
-                pops[i] = int(dest)
+                dest = int(self.rng.choice(demo.num_populations, p=w / w.sum()))
+                node = slots[i][0]
+                self.mig_events[node].append((t, dest))
+                slots[i][1] = dest
                 continue
-            p = event[1]
-            members = [i for i, mp in enumerate(mapped) if mp == p]
-            i, j = self.rng.choice(len(members), size=2, replace=False)
-            a, b = members[i], members[j]
-            node_a, node_b = active[a], active[b]
+            p = chosen[1]
+            members = [i for i, mp in zip(live, mapped) if mp == p]
+            a_i, b_i = self.rng.choice(len(members), size=2, replace=False)
+            sa, sb = members[a_i], members[b_i]
+            na, nb = slots[sa][0], slots[sb][0]
             m = next_id
             next_id += 1
-            self.parent[node_a] = m
-            self.parent[node_b] = m
-            self.children[m] = [node_a, node_b]
+            self.parent[na] = m
+            self.parent[nb] = m
+            self.children[m] = [na, nb]
             self.time[m] = t
             self.pop[m] = p
-            for idx in sorted([a, b], reverse=True):
-                del active[idx]
-                del pops[idx]
-            active.append(m)
-            pops.append(p)
+            slots[sa] = [m, p]
+            alive[sb] = False
 
     # -- tree queries -------------------------------------------------------
 
@@ -127,13 +142,13 @@ class _Sim:
         return int(np.where(self.parent == -1)[0][0])
 
     def parent_time(self) -> np.ndarray:
-        pt = np.where(self.parent >= 0, self.time[np.clip(self.parent, 0, None)], np.inf)
-        return pt
+        return np.where(
+            self.parent >= 0, self.time[np.clip(self.parent, 0, None)], np.inf
+        )
 
     def branch_lengths(self) -> np.ndarray:
         pt = self.parent_time()
-        bl = np.where(self.parent >= 0, pt - self.time, 0.0)
-        return bl
+        return np.where(self.parent >= 0, pt - self.time, 0.0)
 
     def total_length(self) -> float:
         return float(self.branch_lengths().sum())
@@ -152,32 +167,50 @@ class _Sim:
     # -- SMC' transition ----------------------------------------------------
 
     def recombine(self):
-        bl = self.branch_lengths()
-        x = self.rng.uniform() * bl.sum()
-        c = int(np.searchsorted(np.cumsum(bl), x))
-        h_r = self.time[c] + (x - (np.cumsum(bl)[c - 1] if c > 0 else 0.0))
-        # re-coalesce floating lineage from h_r against the original tree
         demo = self.demo
+        bl = self.branch_lengths()
+        cum = np.cumsum(bl)
+        x = self.rng.uniform() * cum[-1]
+        c = int(np.searchsorted(cum, x))
+        h_r = self.time[c] + (x - (cum[c - 1] if c > 0 else 0.0))
         pt = self.parent_time()
+        ct = demo.change_times
+
+        # floating-lineage walk from h_r; above the root both the floating
+        # and the ancestral lineage migrate (pairwise structured coalescent)
         t = h_r
-        lineage_pop = self._mapped_pop(int(self.pop[c]), h_r)
+        root = self.root()
+        root_h = float(self.time[root])
+        lineage_pop = self.branch_pop(c, h_r)
+        root_pop = self._map(int(self.pop[root]), max(root_h, h_r))
+        new_events: list[tuple[float, int]] = []
+        root_events: list[tuple[float, int]] = []
+        all_mig_times = sorted(
+            et for evs in self.mig_events for et, _ in evs
+        )
         while True:
             e = self._epoch(t)
-            ct = demo.change_times
             e_end = ct[e + 1] if e + 1 < len(ct) else np.inf
             pm = self._pop_map[e]
             lineage_pop = int(pm[lineage_pop])
+            root_pop = int(pm[root_pop])
+            above = t >= root_h
             crossing = (self.time <= t) & (t < pt)
-            cross_pops = pm[self.pop]
-            k_same = int(np.sum(crossing & (cross_pops == lineage_pop)))
+            bp = np.array(
+                [self.branch_pop(i, t) if crossing[i] else -1 for i in range(len(pt))]
+            )
+            if crossing[root]:
+                bp[root] = root_pop
+            k_same = int(np.sum(crossing & (bp == lineage_pop)))
             coal_rate = k_same / (2.0 * demo.pop_sizes[e, lineage_pop])
             mig_rate = float(np.sum(demo.mig_rates[e, lineage_pop]))
-            total = coal_rate + mig_rate
-            # next structural change: a node time above t, or epoch end
-            nts = self.time[(self.time > t)]
+            rmig_rate = float(np.sum(demo.mig_rates[e, root_pop])) if above else 0.0
+            total = coal_rate + mig_rate + rmig_rate
+            nts = self.time[self.time > t]
+            next_mig = next((mt for mt in all_mig_times if mt > t), np.inf)
             next_bk = min(
-                float(nts.min()) if len(nts) else np.inf,
-                e_end,
+                float(nts.min()) if len(nts) else np.inf, e_end, next_mig,
+                root_h if t < root_h else np.inf,
             )
             if total <= 0:
                 t = next_bk
@@ -187,28 +220,56 @@ class _Sim:
                 t = next_bk
                 continue
             t = t + dt
-            if self.rng.uniform() * total < mig_rate:
+            x = self.rng.uniform() * total
+            if x < coal_rate:
+                cands = np.where(crossing & (bp == lineage_pop))[0]
+                d = int(self.rng.choice(cands))
+                break
+            if x < coal_rate + mig_rate:
                 w = demo.mig_rates[e, lineage_pop].copy()
                 w[lineage_pop] = 0
                 lineage_pop = int(self.rng.choice(len(w), p=w / w.sum()))
-                continue
-            # coalescence at time t with a uniformly chosen same-pop branch
-            cands = np.where(crossing & (cross_pops == lineage_pop))[0]
-            d = int(self.rng.choice(cands))
-            break
+                new_events.append((t, lineage_pop))
+            else:
+                w = demo.mig_rates[e, root_pop].copy()
+                w[root_pop] = 0
+                root_pop = int(self.rng.choice(len(w), p=w / w.sum()))
+                root_events.append((t, root_pop))
         t_c = t
+
         if d == c:
-            return  # SMC' self-coalescence: unchanged tree
+            # self-coalescence: replace c's [h_r, t_c) event section
+            old = self.mig_events[c]
+            self.mig_events[c] = (
+                [ev for ev in old if ev[0] < h_r]
+                + new_events
+                + [ev for ev in old if ev[0] >= t_c]
+            )
+            return
         p = int(self.parent[c])
-        o = int(self.children[p][0] if self.children[p][1] == c else self.children[p][1])
+        o = int(self.children[p][1]) if int(self.children[p][0]) == c else int(self.children[p][0])
         g = int(self.parent[p])
         d_eff = o if d == p else d
+        # event routing
+        c_events = [ev for ev in self.mig_events[c] if ev[0] < h_r] + new_events
+        o_events = self.mig_events[o] + self.mig_events[p]
+        if d_eff == o:
+            d_events_all = list(o_events)
+        else:
+            d_events_all = list(self.mig_events[d_eff])
+        if d == root or d_eff == root:
+            # coalescence with the ancestral lineage: its realized migration
+            # path becomes the old root's branch events (note d == p == root
+            # remaps d_eff -> o)
+            d_events_all = sorted(d_events_all + root_events)
+        d_low = [ev for ev in d_events_all if ev[0] < t_c]
+        d_high = [ev for ev in d_events_all if ev[0] >= t_c]
         gp = g if d_eff == o else int(self.parent[d_eff])
         # splice o up
         self.parent[o] = g
         if g >= 0:
             self.children[g][self.children[g] == p] = o
-        # insert node p on branch above d_eff
+        # insert p on branch above d_eff
         self.parent[d_eff] = p
         self.parent[p] = gp
         self.children[p] = [c, d_eff]
@@ -216,6 +277,13 @@ class _Sim:
             self.children[gp][self.children[gp] == d_eff] = p
         self.time[p] = t_c
         self.pop[p] = lineage_pop
+        self.mig_events[c] = c_events
+        self.mig_events[o] = o_events
+        self.mig_events[d_eff] = d_low
+        self.mig_events[p] = d_high
+        # prune the (new) root's ancestral-lineage events — re-simulated
+        # fresh by every walk
+        self.mig_events[self.root()] = []
 
 
 def simulate_seg(
@@ -240,7 +308,6 @@ def simulate_seg(
         tl = sim.total_length()
         d_rec = rng.exponential(1.0 / max(rho * tl, 1e-300)) if rho > 0 else np.inf
         seg_end = min(x + d_rec, L)
-        # mutations on this tree over [x, seg_end)
         n_mut = rng.poisson(mu * tl * (seg_end - x))
         if n_mut:
             positions = np.sort(rng.uniform(x, seg_end, size=n_mut))
@@ -258,23 +325,18 @@ def simulate_seg(
         if x < L:
             sim.recombine()
 
-    # dedupe integer positions
     seen = {}
     for p, a in zip(var_positions, var_alleles):
         seen[p] = a
     var_positions = sorted(seen)
     var_alleles = [seen[p] for p in var_positions]
 
-    # build .seg rows: same layout as convert_scrm_to_seg
-    # (populationmodels.py:533-577): row covers [pos, next_pos), allele column
-    # = variant at the row's final position
     positions = [1] + var_positions
     rows_pos, rows_len, rows_al = [], [], []
     for idx in range(len(positions) - 1):
         rows_pos.append(positions[idx])
         rows_len.append(positions[idx + 1] - positions[idx])
         rows_al.append(var_alleles[idx])
-    # final invariant row to the end of the sequence
     rows_pos.append(positions[-1])
     rows_len.append(L - positions[-1] + 1)
     rows_al.append(np.full(n, -1, dtype=np.int8))

@@ -89,11 +89,19 @@ class PFConfig:
     fifo_slots: int = 4  # lag FIFO depth
     ancestral_aware: bool = False
     max_recomb_iters: int = 64  # safety bound on the inner while loop
+    has_migration: bool = False  # continuous migration in the proposal walk
+    max_walk_events: int = 64  # event bound for the migration walk
+    use_bias: bool = False  # height-biased recombination sampling
+    delay_slots: int = 32  # delayed-importance-factor ring capacity
+    delay_k: int = 3  # k-step geometric application (particle.cpp:891)
+    record_arg: bool = False  # keep a per-particle ARG event log (-arg)
+    arg_slots: int = 512  # ring capacity of the ARG log (newest kept)
 
 
 class PFState(NamedTuple):
     trees: Trees
     log_w: jnp.ndarray  # [P] normalized log posterior weights
+    log_pilot: jnp.ndarray  # [P] pilot (sampling) weights; == log_w w/o bias
     next_rec: jnp.ndarray  # [P] next recombination pos rel. to sweep front
     fifo: SuffStats  # [P, F, ...] pending lagged statistics
     slot_open: jnp.ndarray  # [E] abs position where the newest slot opened
@@ -104,23 +112,50 @@ class PFState(NamedTuple):
     front: jnp.ndarray  # [] sweep position (f32, chunk-relative)
     key: jnp.ndarray
     num_resamples: jnp.ndarray  # [] i32
+    # delayed importance factors (reference DelayedFactor priority queue,
+    # particle.hpp:59-101, as a fixed ring; free slots have pos == INF)
+    df_pos: jnp.ndarray  # [P, K] application position (abs)
+    df_logf: jnp.ndarray  # [P, K] log factor applied per activation
+    df_delta: jnp.ndarray  # [P, K] spacing; doubles per activation
+    df_k: jnp.ndarray  # [P, K] remaining activations
+    # ARG event log ring (reference RECORD_TREE_EVENT chain ->
+    # .trees.gz, particleContainer.cpp:515-555); None unless record_arg
+    arg_pos: jnp.ndarray = None  # [P, A]
+    arg_code: jnp.ndarray = None  # [P, A] 0=R 1=C 2=M
+    arg_time: jnp.ndarray = None  # [P, A]
+    arg_from: jnp.ndarray = None  # [P, A]
+    arg_to: jnp.ndarray = None  # [P, A]
+    arg_desc: jnp.ndarray = None  # [P, A] u32 leaf bitmask
+    arg_n: jnp.ndarray = None  # [P] total events pushed (ring index)
 
 
 def init_state(
-    key: jnp.ndarray, epochs: Epochs, cfg: PFConfig, sample_pop: np.ndarray, rho: float
+    key: jnp.ndarray,
+    epochs: Epochs,
+    cfg: PFConfig,
+    sample_pop: np.ndarray,
+    rho: float,
+    sample_time: np.ndarray | None = None,
 ) -> PFState:
     """Draw the initial particle population (particleContainer.cpp:33-65)."""
     P = cfg.num_particles
     E, Pp = epochs.num_epochs, epochs.num_pops
     k_tree, k_gap, key = jax.random.split(key, 3)
-    trees = make_initial_trees(k_tree, epochs, P, jnp.asarray(sample_pop))
+    trees = make_initial_trees(
+        k_tree, epochs, P, jnp.asarray(sample_pop),
+        None if sample_time is None else jnp.asarray(sample_time),
+    )
     treelen = jax.vmap(
         lambda t, p: jnp.sum(jnp.where(p < 0, 0.0, t[jnp.clip(p, 0, None)] - t))
     )(trees.time, trees.parent)
     gap = jax.random.exponential(k_gap, (P,)) / jnp.maximum(rho * treelen, 1e-30)
+    from .kernels.tree import INF
+
+    K = cfg.delay_slots
     return PFState(
         trees=trees,
         log_w=jnp.full((P,), -jnp.log(float(P))),
+        log_pilot=jnp.full((P,), -jnp.log(float(P))),
         next_rec=gap,
         fifo=zero_stats(E, Pp, (P, cfg.fifo_slots)),
         slot_open=jnp.zeros((E,)),
@@ -131,6 +166,17 @@ def init_state(
         front=jnp.float32(0.0),
         key=key,
         num_resamples=jnp.int32(0),
+        df_pos=jnp.full((P, K), INF),
+        df_logf=jnp.zeros((P, K)),
+        df_delta=jnp.zeros((P, K)),
+        df_k=jnp.zeros((P, K), jnp.int32),
+        arg_pos=jnp.zeros((P, cfg.arg_slots)) if cfg.record_arg else None,
+        arg_code=jnp.zeros((P, cfg.arg_slots), jnp.int8) if cfg.record_arg else None,
+        arg_time=jnp.zeros((P, cfg.arg_slots)) if cfg.record_arg else None,
+        arg_from=jnp.full((P, cfg.arg_slots), -1, jnp.int8) if cfg.record_arg else None,
+        arg_to=jnp.full((P, cfg.arg_slots), -1, jnp.int8) if cfg.record_arg else None,
+        arg_desc=jnp.zeros((P, cfg.arg_slots), jnp.uint32) if cfg.record_arg else None,
+        arg_n=jnp.zeros((P,), jnp.int32) if cfg.record_arg else None,
     )
 
 
@@ -167,13 +213,94 @@ def systematic_resample(key: jnp.ndarray, log_w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gather_particles(state: PFState, idx: jnp.ndarray) -> PFState:
-    """Ancestry gather: trees + pending FIFO follow the particle."""
+    """Ancestry gather: trees, pending FIFO and delayed factors follow the
+    particle (reference: copy constructor particle.cpp:113-136)."""
     g = lambda x: jnp.take(x, idx, axis=0)
-    return state._replace(
+    state = state._replace(
         trees=jax.tree_util.tree_map(g, state.trees),
         fifo=jax.tree_util.tree_map(g, state.fifo),
         next_rec=g(state.next_rec),
+        df_pos=g(state.df_pos),
+        df_logf=g(state.df_logf),
+        df_delta=g(state.df_delta),
+        df_k=g(state.df_k),
     )
+    if state.arg_pos is not None:
+        state = state._replace(
+            arg_pos=g(state.arg_pos), arg_code=g(state.arg_code),
+            arg_time=g(state.arg_time), arg_from=g(state.arg_from),
+            arg_to=g(state.arg_to), arg_desc=g(state.arg_desc),
+            arg_n=g(state.arg_n),
+        )
+    return state
+
+
+def _push_delayed(df_pos, df_logf, df_delta, df_k, mask, pos, delay, log_iw, kk):
+    """Insert k-step geometric delayed factors (particle.hpp:63-82): final
+    application at pos+delay; k applications of factor^(1/k) at doubling
+    intervals delta, 2*delta, ... with delta = delay/(2^k - 1).  If the ring
+    is full, the whole factor is applied immediately (returned as an additive
+    pilot-weight correction)."""
+    from .kernels.tree import INF
+
+    P = df_pos.shape[0]
+    free = df_pos >= 0.5 * INF
+    has_free = jnp.any(free, axis=1)
+    slot = jnp.argmax(free, axis=1)
+    rowid = jnp.arange(P)
+    delta = delay / (2.0**kk - 1.0)
+    do = mask & has_free
+    df_pos = df_pos.at[rowid, slot].set(
+        jnp.where(do, pos + delta, df_pos[rowid, slot])
+    )
+    df_logf = df_logf.at[rowid, slot].set(
+        jnp.where(do, log_iw / kk, df_logf[rowid, slot])
+    )
+    df_delta = df_delta.at[rowid, slot].set(
+        jnp.where(do, delta, df_delta[rowid, slot])
+    )
+    df_k = df_k.at[rowid, slot].set(
+        jnp.where(do, jnp.int32(kk), df_k[rowid, slot])
+    )
+    overflow_add = jnp.where(mask & ~has_free, log_iw, 0.0)
+    return df_pos, df_logf, df_delta, df_k, overflow_add
+
+
+def _push_arg_event(arg, mask, pos, code, time, from_pop, to_pop, desc, A):
+    """Masked ring push of one ARG event per particle (newest-kept ring)."""
+    arg_pos, arg_code, arg_time, arg_from, arg_to, arg_desc, arg_n = arg
+    P = arg_n.shape[0]
+    rowid = jnp.arange(P)
+    slot = arg_n % A
+    def setm(a, v):
+        return a.at[rowid, slot].set(
+            jnp.where(mask, v.astype(a.dtype), a[rowid, slot])
+        )
+    arg_pos = setm(arg_pos, pos)
+    arg_code = setm(arg_code, jnp.full((P,), code, jnp.int8))
+    arg_time = setm(arg_time, time)
+    arg_from = setm(arg_from, from_pop.astype(jnp.int8))
+    arg_to = setm(arg_to, jnp.full((P,), to_pop, jnp.int8))
+    arg_desc = setm(arg_desc, desc)
+    arg_n = arg_n + mask.astype(jnp.int32)
+    return (arg_pos, arg_code, arg_time, arg_from, arg_to, arg_desc, arg_n)
+
+
+def _apply_due_delayed(df_pos, df_logf, df_delta, df_k, front):
+    """Apply all factors whose application position has been passed
+    (particle.cpp:911-916 + applyDelayedAdjustment, particle.hpp:199-209).
+    Returns the additive log-pilot update and the new ring."""
+    from .kernels.tree import INF
+
+    due = df_pos <= front
+    add = jnp.sum(jnp.where(due, df_logf, 0.0), axis=1)
+    again = due & (df_k > 1)
+    done = due & (df_k <= 1)
+    df_pos = jnp.where(again, df_pos + 2.0 * df_delta, jnp.where(done, INF, df_pos))
+    df_delta = jnp.where(again, 2.0 * df_delta, df_delta)
+    df_k = jnp.where(again, df_k - 1, jnp.where(done, 0, df_k))
+    df_logf = jnp.where(done, 0.0, df_logf)
+    return add, df_pos, df_logf, df_delta, df_k
 
 
 def _commit_slot(state: PFState, rotate_e: jnp.ndarray, slot: int) -> PFState:
@@ -223,9 +350,14 @@ def flush_pending(state: PFState) -> PFState:
 # ---------------------------------------------------------------------------
 
 
-def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate: float, rho: float,
-                      lags: jnp.ndarray):
-    """Build the jittable per-segment scan body.
+def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
+                      bias_heights=None, bias_strengths=None, delays=None):
+    """Build the per-segment scan body.
+
+    ``epochs``, ``mutation_rate``, ``rho`` and ``lags`` may be traced values
+    (see :func:`build_sweep`) so that EM iterations and chunks reuse one
+    compiled program — the reference pays a fresh process launch per
+    (iteration, chunk) instead (model.py:1050-1100).
 
     Segment input (see segio): length (i32), alleles [n] (i8), state (i8),
     leaf_status (i8: -1 all-missing / 0 mixed / 1 complete).
@@ -238,9 +370,12 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate: float, rho: 
     rho = jnp.float32(rho)
 
     def step(state: PFState, seg):
-        seg_len, alleles, seg_state, leaf_status = seg
+        # configs: [C, n] phase configurations for the segment-final site
+        # (C == 1 for fully phased data); likelihood is averaged over the
+        # first n_configs of them (particleContainer.cpp:212-224)
+        seg_len, configs, n_configs, seg_state, leaf_status = seg
         L = seg_len.astype(jnp.float32)
-        has_data = alleles >= 0
+        has_data = configs[0] >= 0
 
         # ---- inner recombination loop over the window [front, front+L) ----
         def summaries(trees):
@@ -249,15 +384,23 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate: float, rho: 
         tl, tl_e, B = summaries(state.trees)
 
         def cond(carry):
-            (_, _, _, next_rec, upd, _, _, _, _, it) = carry
+            (_, _, _, _, _, _, next_rec, upd, _, _, _, _, it) = carry
             return jnp.any(next_rec < L) & (it < cfg.max_recomb_iters)
 
         def body(carry):
-            (key, trees, log_w, next_rec, upd, tl, tl_e, B, pending, it) = carry
+            (key, trees, log_w, log_pilot, dfs, arg, next_rec, upd, tl, tl_e,
+             B, pending, it) = carry
             active = next_rec < L
+            if cfg.record_arg:
+                from .kernels.tree import descendant_bitmask
+
+                desc_pre = jax.vmap(descendant_bitmask)(
+                    trees.children, trees.time
+                )  # [P, N] — recombining node's leaf set (pre-transition)
             delta = jnp.where(active, next_rec - upd, 0.0)
             # no-mutation likelihood over [upd, next_rec)
             log_w = log_w - mu * B * delta
+            log_pilot = log_pilot - mu * B * delta
             # recombination opportunity dx * treelen_e (coalevent.hpp:221)
             pending = pending._replace(
                 recomb_opp=pending.recomb_opp + delta[:, None] * tl_e
@@ -265,13 +408,59 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate: float, rho: 
             # the transition itself
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, P)
-            trees, rec = recombination_transition(keys, trees, epochs, active)
+            trees, rec = recombination_transition(
+                keys, trees, epochs, active,
+                has_migration=cfg.has_migration,
+                max_events=cfg.max_walk_events,
+                bias_heights=bias_heights if cfg.use_bias else None,
+                bias_strengths=bias_strengths if cfg.use_bias else None,
+            )
             pending = pending._replace(
                 coal_opp=pending.coal_opp + rec.coal_opp,
                 coal_cnt=pending.coal_cnt + rec.coal_cnt,
                 mig_opp=pending.mig_opp + rec.mig_opp,
+                mig_cnt=pending.mig_cnt + rec.mig_cnt,
                 recomb_cnt=pending.recomb_cnt + rec.recomb_cnt,
             )
+            if cfg.use_bias:
+                # posterior gets the IW immediately; the pilot gets it with a
+                # per-epoch delay unless the point is unbiased
+                # (particle.cpp:869-891)
+                log_w = log_w + jnp.where(active, rec.log_iw, 0.0)
+                immediate = jnp.abs(rec.point_strength - 1.0) < 1e-6
+                log_pilot = log_pilot + jnp.where(
+                    active & immediate, rec.log_iw, 0.0
+                )
+                e_h = jnp.clip(
+                    jnp.searchsorted(epochs.start, rec.recomb_height,
+                                     side="right") - 1,
+                    0, E - 1,
+                )
+                delay = delays[e_h]
+                abs_pos = state.front + next_rec
+                df_pos, df_logf, df_delta, df_k = dfs
+                df_pos, df_logf, df_delta, df_k, ovf = _push_delayed(
+                    df_pos, df_logf, df_delta, df_k,
+                    active & ~immediate, abs_pos, delay, rec.log_iw,
+                    cfg.delay_k,
+                )
+                log_pilot = log_pilot + ovf
+                dfs = (df_pos, df_logf, df_delta, df_k)
+            if cfg.record_arg:
+                # R + C rows of the .trees event log
+                # (particleContainer.cpp:515-555 format)
+                dc = jnp.take_along_axis(
+                    desc_pre, rec.c_node[:, None], axis=1
+                )[:, 0]
+                abs_pos = state.front + next_rec
+                arg = _push_arg_event(
+                    arg, active, abs_pos, 0, rec.recomb_height,
+                    jnp.full((P,), -1, jnp.int8), -1, dc, cfg.arg_slots,
+                )
+                arg = _push_arg_event(
+                    arg, active, abs_pos, 1, rec.coal_height,
+                    rec.coal_pop, -1, dc, cfg.arg_slots,
+                )
             # refresh tree summaries for particles that changed
             tl2, tl_e2, B2 = summaries(trees)
             tl = jnp.where(active, tl2, tl)
@@ -282,13 +471,23 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate: float, rho: 
             gap = jax.random.exponential(sub, (P,)) / jnp.maximum(rho * tl, 1e-30)
             upd = jnp.where(active, next_rec, upd)
             next_rec = jnp.where(active, next_rec + gap, next_rec)
-            return (key, trees, log_w, next_rec, upd, tl, tl_e, B, pending, it + 1)
+            return (key, trees, log_w, log_pilot, dfs, arg, next_rec, upd, tl,
+                    tl_e, B, pending, it + 1)
 
         pending0 = zero_stats(E, Pp, (P,))
+        arg0 = (
+            (state.arg_pos, state.arg_code, state.arg_time, state.arg_from,
+             state.arg_to, state.arg_desc, state.arg_n)
+            if cfg.record_arg
+            else ()
+        )
         carry = (
             state.key,
             state.trees,
             state.log_w,
+            state.log_pilot,
+            (state.df_pos, state.df_logf, state.df_delta, state.df_k),
+            arg0,
             state.next_rec,
             jnp.zeros((P,)),
             tl,
@@ -297,25 +496,38 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate: float, rho: 
             pending0,
             jnp.int32(0),
         )
-        (key, trees, log_w, next_rec, upd, tl, tl_e, B, pending, _) = (
-            jax.lax.while_loop(cond, body, carry)
-        )
+        (key, trees, log_w, log_pilot, dfs, arg, next_rec, upd, tl, tl_e, B,
+         pending, _) = jax.lax.while_loop(cond, body, carry)
+        df_pos, df_logf, df_delta, df_k = dfs
 
         # final extension to the segment end
         delta = L - upd
         log_w = log_w - mu * B * delta
+        log_pilot = log_pilot - mu * B * delta
         pending = pending._replace(
             recomb_opp=pending.recomb_opp + delta[:, None] * tl_e
         )
         next_rec = next_rec - L
 
         # ---- site likelihood at the segment-final position ----------------
-        def with_site(lw):
-            lik = site_likelihood(trees, alleles, mu, cfg.ancestral_aware)
-            return lw + jnp.log(jnp.maximum(lik, 1e-38))
+        def with_site(ws):
+            lw, lp = ws
+            C = configs.shape[0]
+            if C == 1:
+                lik = site_likelihood(trees, configs[0], mu, cfg.ancestral_aware)
+            else:
+                per_cfg = jax.vmap(
+                    lambda al: site_likelihood(trees, al, mu, cfg.ancestral_aware)
+                )(configs)  # [C, P]
+                mask = (jnp.arange(C) < n_configs)[:, None]
+                lik = jnp.sum(jnp.where(mask, per_cfg, 0.0), axis=0) / n_configs
+            ll = jnp.log(jnp.maximum(lik, 1e-38))
+            return lw + ll, lp + ll
 
         apply_site = (seg_state == 0) & (leaf_status != -1)  # SEGMENT_INVARIANT
-        log_w = jax.lax.cond(apply_site, with_site, lambda lw: lw, log_w)
+        log_w, log_pilot = jax.lax.cond(
+            apply_site, with_site, lambda ws: ws, (log_w, log_pilot)
+        )
 
         # ---- push pending increments into FIFO slot 0 ---------------------
         fifo = jax.tree_util.tree_map(
@@ -332,16 +544,36 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate: float, rho: 
         ln_norm = t
 
         front = state.front + L
+        if cfg.use_bias:
+            # drain delayed factors that came due (particle.cpp:911-916)
+            add, df_pos, df_logf, df_delta, df_k = _apply_due_delayed(
+                df_pos, df_logf, df_delta, df_k, front
+            )
+            log_pilot = log_pilot + add
+            log_pilot = log_pilot - jax.scipy.special.logsumexp(log_pilot)
+        else:
+            log_pilot = log_w
+
         state = state._replace(
             trees=trees,
             log_w=log_w,
+            log_pilot=log_pilot,
             next_rec=next_rec,
             fifo=fifo,
             ln_norm=ln_norm,
             ln_norm_c=ln_norm_c,
             front=front,
             key=key,
+            df_pos=df_pos,
+            df_logf=df_logf,
+            df_delta=df_delta,
+            df_k=df_k,
         )
+        if cfg.record_arg:
+            state = state._replace(
+                arg_pos=arg[0], arg_code=arg[1], arg_time=arg[2],
+                arg_from=arg[3], arg_to=arg[4], arg_desc=arg[5], arg_n=arg[6],
+            )
 
         # ---- lagged commit ------------------------------------------------
         rotate_e = (front - state.slot_open) >= span
@@ -350,20 +582,25 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate: float, rho: 
             slot_open=jnp.where(rotate_e, front, state.slot_open)
         )
 
-        # ---- ESS and resampling -------------------------------------------
-        w = jax.nn.softmax(log_w)
-        ess = 1.0 / jnp.sum(w * w)
+        # ---- ESS and resampling (on pilot weights; equal to posterior when
+        # no bias is active) ------------------------------------------------
+        wp = jax.nn.softmax(state.log_pilot)
+        ess = 1.0 / jnp.sum(wp * wp)
 
         def do_resample(state):
             key, k1, k2 = jax.random.split(state.key, 3)
-            idx = systematic_resample(k1, state.log_w)
+            idx = systematic_resample(k1, state.log_pilot)
+            # auxiliary-PF reweight: w' = (w/pilot)[ancestor] / P
+            lw = state.log_w - state.log_pilot
             state = _gather_particles(state, idx)
+            new_log_w = jnp.take(lw, idx) - jnp.log(float(P))
             # re-draw next recombination positions for clones; valid for all
             # by memorylessness of the exponential (particle.cpp:393-436)
             tl_r = jnp.take(tl, idx, axis=0)
             gap = jax.random.exponential(k2, (P,)) / jnp.maximum(rho * tl_r, 1e-30)
             return state._replace(
-                log_w=jnp.full((P,), -jnp.log(float(P))),
+                log_w=new_log_w,
+                log_pilot=jnp.full((P,), -jnp.log(float(P))),
                 next_rec=gap,
                 key=key,
                 num_resamples=state.num_resamples + 1,
@@ -383,6 +620,33 @@ def run_block(state: PFState, step_fn, seg_block) -> tuple[PFState, jnp.ndarray]
     leaf_status [S] i8); zero-length segments are padding no-ops.
     """
     return jax.lax.scan(step_fn, state, seg_block)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _sweep_jit(cfg: PFConfig, state: PFState, seg_block, epochs: Epochs,
+               mutation_rate, rho, lags, bias_heights, bias_strengths, delays):
+    step = make_segment_step(cfg, epochs, mutation_rate, rho, lags,
+                             bias_heights, bias_strengths, delays)
+    return jax.lax.scan(step, state, seg_block)
+
+
+def build_sweep(cfg: PFConfig):
+    """One compiled sweep program per (static config, shapes): demographic
+    parameters are traced inputs, so EM iterations / chunks / bench reps all
+    hit the jit cache."""
+
+    def sweep(state, seg_block, epochs, mutation_rate, rho, lags,
+              bias_heights=None, bias_strengths=None, delays=None):
+        if cfg.use_bias:
+            bias_heights = jnp.asarray(bias_heights, jnp.float32)
+            bias_strengths = jnp.asarray(bias_strengths, jnp.float32)
+            delays = jnp.asarray(delays, jnp.float32)
+        return _sweep_jit(cfg, state, seg_block, epochs,
+                          jnp.float32(mutation_rate), jnp.float32(rho),
+                          jnp.asarray(lags, jnp.float32),
+                          bias_heights, bias_strengths, delays)
+
+    return sweep
 
 
 def default_lags(epochs: Epochs, rho: float, lag_fraction: float = 0.0) -> np.ndarray:

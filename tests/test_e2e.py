@@ -80,3 +80,36 @@ class TestNoDataInvariance:
         assert logl == pytest.approx(0.0, abs=1e-3)
         ne_hat = float(stats.coal_opp.sum() / (2.0 * stats.coal_cnt.sum()))
         assert ne_hat == pytest.approx(ne, rel=0.1)
+
+    def test_bias_nodata_invariance(self):
+        """Biased sampling + delayed importance weights must be exactly
+        compensated: with no data, the posterior equals the prior
+        (reference: test/old/newtests/test_bias_nodata.py:15-40 — the
+        decisive correctness gate for the IW machinery)."""
+        ne = 10000.0
+        demo = const_demo(ne=ne, n=4, L=1e6)
+        from smcsmc_tpu.segio import SegData
+
+        n_seg = 40
+        seg = SegData(
+            positions=1 + np.arange(n_seg) * 25000,
+            lengths=np.full(n_seg, 25000),
+            states=np.zeros(n_seg, dtype=np.int8),
+            alleles=np.full((n_seg, 4), -1, dtype=np.int8),
+            phased=np.ones(4, bool),
+        )
+        cfg = EMConfig(
+            num_particles=300,
+            block_size=64,
+            lag=20000.0,
+            bias_heights=(5000.0,),
+            bias_strengths=(3.0, 1.0),
+        )
+        stats, _, logl, _ = run_chunk(demo, seg, cfg, seed=5)
+        assert logl == pytest.approx(0.0, abs=1e-2)
+        ne_hat = float(stats.coal_opp.sum() / (2.0 * stats.coal_cnt.sum()))
+        assert ne_hat == pytest.approx(ne, rel=0.1)
+        # biased sampling skews where recombinations are *proposed*; the
+        # posterior-weighted recombination-rate estimate must stay unbiased
+        r_hat = float(stats.recomb_cnt.sum() / stats.recomb_opp.sum())
+        assert r_hat == pytest.approx(1e-9, rel=0.25)
