@@ -6,6 +6,11 @@
 
 PY := env PYTHONPATH=$(CURDIR) JAX_PLATFORMS=cpu python
 
+native: smcsmc_tpu/_segscan.so
+
+smcsmc_tpu/_segscan.so: native/segscan.c
+	gcc -O3 -march=native -shared -fPIC -o $@ $<
+
 test:
 	$(PY) -m pytest tests/ -x -q -m "not slow"
 
@@ -15,4 +20,4 @@ test-all:
 bench:
 	python bench.py
 
-.PHONY: test test-all bench
+.PHONY: test test-all bench native

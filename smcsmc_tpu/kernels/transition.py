@@ -602,7 +602,7 @@ def recombination_transition(
     epochs: Epochs,
     active: jnp.ndarray,
     has_migration: bool = False,
-    max_events: int = 64,
+    max_events: int = 256,
     bias_heights=None,
     bias_strengths=None,
 ):

@@ -82,6 +82,85 @@ def _open(path: str, mode: str = "rt"):
     return open(path, mode)
 
 
+_NATIVE = None
+
+
+def _native_scanner():
+    """ctypes handle to the C seg scanner (native/segscan.c), if built."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    import ctypes
+    import os
+
+    so = os.path.join(os.path.dirname(__file__), "_segscan.so")
+    if not os.path.exists(so):
+        _NATIVE = False
+        return None
+    lib = ctypes.CDLL(so)
+    lib.segscan_parse.restype = ctypes.c_long
+    lib.segscan_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+    lib.segscan_count.restype = ctypes.c_long
+    lib.segscan_count.argtypes = [ctypes.c_char_p]
+    _NATIVE = lib
+    return lib
+
+
+def _read_seg_native(path: str) -> SegData | None:
+    """Parse with the native scanner; None on any mismatch (caller falls
+    back to the reference-faithful Python parser for error reporting)."""
+    import ctypes
+
+    lib = _native_scanner()
+    if lib is None:
+        return None
+    mode = "rb" if not str(path).endswith(".gz") else "rb"
+    with _open(path, mode) as fh:
+        text = fh.read()
+    if not isinstance(text, bytes):
+        text = text.encode()
+    text += b"\0"
+    cap = lib.segscan_count(text)
+    if cap <= 0:
+        return None
+    # probe allele-column width from the first data line (exact allocation)
+    nsam_max = 0
+    for line in text.split(b"\n", 50):
+        if line and not line.startswith(b"#"):
+            nsam_max = len(line.split(b"\t")[-1].strip())
+            break
+    if nsam_max <= 0:
+        return None
+    pos = np.empty(cap, dtype=np.int64)
+    length = np.empty(cap, dtype=np.int64)
+    alleles = np.empty((cap, nsam_max), dtype=np.int8)
+    nsam = ctypes.c_int(0)
+    rows = lib.segscan_parse(
+        text, cap, nsam_max,
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        length.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        alleles.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.byref(nsam), 1,
+    )
+    if rows <= 0:
+        return None
+    al = alleles[:rows, : nsam.value]
+    if nsam.value != nsam_max or rows != cap:
+        al = al.copy()
+    return SegData(
+        positions=pos[:rows].copy(),
+        lengths=length[:rows].copy(),
+        states=np.zeros(rows, dtype=np.int8),
+        alleles=al,
+        phased=~np.any(al == 2, axis=0),
+    )
+
+
 def read_seg(
     path: str,
     data_start: int = 1,
@@ -90,10 +169,19 @@ def read_seg(
 ) -> SegData:
     """Read a .seg file, mirroring segdata.cpp:55-166.
 
+    Uses the native C scanner (native/segscan.c, ``make native``) when built
+    and the read is un-windowed; otherwise the Python parser.
+
     ``data_start``/``seqlen`` window the data (the reference's ``-startpos``
     chunking); ``max_segment_length`` splits over-long segments into
     INVARIANT_PARTIAL pieces.
     """
+    if data_start == 1 and seqlen is None:
+        fast = _read_seg_native(path)
+        if fast is not None:
+            if max_segment_length is not None:
+                return split_long_segments(fast, max_segment_length)
+            return fast
     positions, lengths, states, alleles = [], [], [], []
     next_start = None
     nsam = None

@@ -90,7 +90,7 @@ class PFConfig:
     ancestral_aware: bool = False
     max_recomb_iters: int = 64  # safety bound on the inner while loop
     has_migration: bool = False  # continuous migration in the proposal walk
-    max_walk_events: int = 64  # event bound for the migration walk
+    max_walk_events: int = 256  # event bound for the migration walk
     use_bias: bool = False  # height-biased recombination sampling
     delay_slots: int = 32  # delayed-importance-factor ring capacity
     delay_k: int = 3  # k-step geometric application (particle.cpp:891)
