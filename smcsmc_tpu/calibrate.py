@@ -128,6 +128,54 @@ def _hist_median(counts: np.ndarray, centers: np.ndarray) -> float:
     return float(centers[min(i, len(centers) - 1)])
 
 
+def terminal_branch_quantiles(
+    key,
+    epochs: Epochs,
+    sample_pop: np.ndarray,
+    num_trees: int = 100_000,
+    batch: int = 25_000,
+    probs=None,
+):
+    """(lengths [n, Q], bin widths [Q], mean total branch length).
+
+    Reference: ``calculate_terminal_branch_length_quantiles``
+    (smcsmc.cpp:128-166) simulates 1e6 trees from the model and records, per
+    leaf, quantiles of the leaf's parent height (the terminal branch length)
+    plus the mean local tree length — the inputs of the APF lookahead.  Here
+    the simulation is the vmapped structured-coalescent initial-tree kernel;
+    our trees have no unary migration nodes, so the leaf parent *is*
+    ``parent_height_ignoring_migrations`` (smcsmc.cpp:116-125).
+    """
+    from .kernels.lookahead import TBLQ_PROBS, tblq_bin_widths
+
+    probs = tuple(probs) if probs is not None else TBLQ_PROBS
+    n = len(sample_pop)
+    sample_pop = jnp.asarray(sample_pop)
+
+    @jax.jit
+    def sim(k):
+        trees = make_initial_trees(k, epochs, batch, sample_pop)
+        pt = jnp.take_along_axis(
+            trees.time, jnp.clip(trees.parent[:, :n], 0, None), axis=1
+        )  # [batch, n] leaf parent heights
+        tl = jax.vmap(total_branch_length)(trees.time, trees.parent)
+        return pt, tl
+
+    pts, tls = [], []
+    for i in range((num_trees + batch - 1) // batch):
+        key, sub = jax.random.split(key)
+        pt, tl = sim(sub)
+        pts.append(np.asarray(pt))
+        tls.append(np.asarray(tl))
+    pt = np.concatenate(pts)  # [T, n]
+    lengths = np.quantile(pt, np.asarray(probs), axis=0).T  # [n, Q]
+    return (
+        lengths.astype(np.float32),
+        tblq_bin_widths(probs).astype(np.float32),
+        float(np.mean(np.concatenate(tls))),
+    )
+
+
 def calibrated_lags_and_delays(
     key, epochs, sample_pop, rho, lag_fraction=2.0, delay=0.5, **kw
 ):

@@ -44,6 +44,8 @@ class EMConfig:
     ne_cap: float = 200000.0
     use_cap: bool = False
     ancestral_aware: bool = False
+    apf: int = 0  # auxiliary particle filter level 0-4 (-apf)
+    apf_trees: int = 100_000  # trees for the terminal-branch-quantile pre-pass
     dephase: bool = False  # treat phased het pairs as unphased (-dephase)
     max_phase_configs: int = 8  # cap on enumerated phase configurations
     block_size: int = 2048  # segments per device scan
@@ -140,11 +142,13 @@ def prepare_blocks(
     chunk_start: int,
     max_configs: int = 1,
     dephase: bool = False,
+    lookahead=None,
 ):
     """Host-side: fixed-shape device blocks from .seg records.
 
     Positions become chunk-relative; zero-length rows pad the final block.
-    ``max_configs`` > 1 enables unphased-genotype marginalization."""
+    ``max_configs`` > 1 enables unphased-genotype marginalization.
+    ``lookahead`` (a LookaheadData) appends the APF per-segment arrays."""
     S = seg.num_segments
     lengths = seg.lengths.astype(np.int32)
     alleles = seg.alleles.astype(np.int8)
@@ -167,6 +171,16 @@ def prepare_blocks(
             [configs, np.full((pad, max_configs, n), -1, np.int8)]
         )
         n_configs = np.concatenate([n_configs, np.ones(pad, np.int32)])
+    la_cols = ()
+    if lookahead is not None:
+        from .lookahead import _pad_block
+
+        la = _pad_block(lookahead, pad) if pad else lookahead
+        la_cols = (
+            la.fsd, la.rel_mu, la.unphased, la.dbl_s1, la.dbl_s2,
+            la.dbl_first, la.dbl_last, la.dbl_unph1, la.dbl_unph2,
+            la.split_dist, la.split_alleles, la.split_k,
+        )
     for b in range(n_blocks):
         sl = slice(b * block_size, (b + 1) * block_size)
         yield (
@@ -175,7 +189,7 @@ def prepare_blocks(
             jnp.asarray(n_configs[sl]),
             jnp.asarray(states[sl]),
             jnp.asarray(leaf_status[sl]),
-        )
+        ) + tuple(jnp.asarray(c[sl]) for c in la_cols)
 
 
 def run_chunk(
@@ -211,6 +225,7 @@ def run_chunk(
         has_migration=bool(np.any(demo.mig_rates > 0)),
         use_bias=bool(cfg.bias_strengths)
         and any(s != 1.0 for s in cfg.bias_strengths),
+        apf=cfg.apf,
         record_arg=cfg.record_arg,
     )
     rho = demo.recombination_rate
@@ -252,15 +267,29 @@ def run_chunk(
     has_unphased = bool(np.any(seg.alleles == 2)) or cfg.dephase
     max_configs = cfg.max_phase_configs if has_unphased else 1
 
+    # APF pre-passes: host-side lookahead scan (segdata.cpp:225-410) +
+    # on-device terminal-branch-quantile calibration (smcsmc.cpp:128-166)
+    la = tblq = None
+    if cfg.apf > 0:
+        from .calibrate import terminal_branch_quantiles
+        from .lookahead import compute_lookahead
+
+        la = compute_lookahead(seg)
+        tblq = terminal_branch_quantiles(
+            jax.random.PRNGKey(seed + 104729), epochs, demo.sample_pops,
+            num_trees=cfg.apf_trees,
+        )
+
     ess_traces = []
     next_update = cfg.online_threshold
     cur_demo = demo
     for block in prepare_blocks(
         seg, cfg.block_size, chunk_start, max_configs=max_configs,
-        dephase=cfg.dephase,
+        dephase=cfg.dephase, lookahead=la,
     ):
         state, ess = sweep(state, block, epochs, cur_demo.mutation_rate, rho,
-                           lags, bias_heights, bias_strengths, delays)
+                           lags, bias_heights, bias_strengths, delays,
+                           tblq=tblq)
         ess_traces.append(np.asarray(ess))
         if cfg.online and float(state.front) > next_update:
             # online EM (count.cpp:44-63): refresh model rates mid-sweep from

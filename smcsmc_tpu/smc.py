@@ -92,6 +92,7 @@ class PFConfig:
     has_migration: bool = False  # continuous migration in the proposal walk
     max_walk_events: int = 256  # event bound for the migration walk
     use_bias: bool = False  # height-biased recombination sampling
+    apf: int = 0  # auxiliary-particle-filter level 0-4 (-apf, particle.cpp:439)
     delay_slots: int = 32  # delayed-importance-factor ring capacity
     delay_k: int = 3  # k-step geometric application (particle.cpp:891)
     record_arg: bool = False  # keep a per-particle ARG event log (-arg)
@@ -351,7 +352,8 @@ def flush_pending(state: PFState) -> PFState:
 
 
 def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
-                      bias_heights=None, bias_strengths=None, delays=None):
+                      bias_heights=None, bias_strengths=None, delays=None,
+                      tblq=None):
     """Build the per-segment scan body.
 
     ``epochs``, ``mutation_rate``, ``rho`` and ``lags`` may be traced values
@@ -373,7 +375,13 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
         # configs: [C, n] phase configurations for the segment-final site
         # (C == 1 for fully phased data); likelihood is averaged over the
         # first n_configs of them (particleContainer.cpp:212-224)
-        seg_len, configs, n_configs, seg_state, leaf_status = seg
+        if cfg.apf > 0:
+            (seg_len, configs, n_configs, seg_state, leaf_status,
+             *la_seg) = seg
+            la_seg = tuple(la_seg)
+        else:
+            seg_len, configs, n_configs, seg_state, leaf_status = seg
+            la_seg = None
         L = seg_len.astype(jnp.float32)
         has_data = configs[0] >= 0
 
@@ -584,14 +592,31 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
 
         # ---- ESS and resampling (on pilot weights; equal to posterior when
         # no bias is active) ------------------------------------------------
-        wp = jax.nn.softmax(state.log_pilot)
+        # APF lookahead (particleContainer.cpp:228-243): the lookahead
+        # likelihood of upcoming variants enters the *pilot* weight only, is
+        # recomputed fresh each segment (include/remove cycle), and is
+        # divided back out of the posterior at resampling — an auxiliary
+        # particle filter, unbiased by construction.
+        if cfg.apf > 0:
+            from .kernels.lookahead import lookahead_loglik
+
+            tblq_len, tblq_w, etbl = tblq
+            la = lookahead_loglik(
+                state.trees, tl, la_seg, tblq_len, tblq_w, etbl, mu, rho,
+                cfg.apf,
+            )
+            pilot_eff = state.log_pilot + la
+            pilot_eff = pilot_eff - jax.scipy.special.logsumexp(pilot_eff)
+        else:
+            pilot_eff = state.log_pilot
+        wp = jax.nn.softmax(pilot_eff)
         ess = 1.0 / jnp.sum(wp * wp)
 
         def do_resample(state):
             key, k1, k2 = jax.random.split(state.key, 3)
-            idx = systematic_resample(k1, state.log_pilot)
+            idx = systematic_resample(k1, pilot_eff)
             # auxiliary-PF reweight: w' = (w/pilot)[ancestor] / P
-            lw = state.log_w - state.log_pilot
+            lw = state.log_w - pilot_eff
             state = _gather_particles(state, idx)
             new_log_w = jnp.take(lw, idx) - jnp.log(float(P))
             # re-draw next recombination positions for clones; valid for all
@@ -624,9 +649,10 @@ def run_block(state: PFState, step_fn, seg_block) -> tuple[PFState, jnp.ndarray]
 
 @partial(jax.jit, static_argnums=(0,))
 def _sweep_jit(cfg: PFConfig, state: PFState, seg_block, epochs: Epochs,
-               mutation_rate, rho, lags, bias_heights, bias_strengths, delays):
+               mutation_rate, rho, lags, bias_heights, bias_strengths, delays,
+               tblq):
     step = make_segment_step(cfg, epochs, mutation_rate, rho, lags,
-                             bias_heights, bias_strengths, delays)
+                             bias_heights, bias_strengths, delays, tblq)
     return jax.lax.scan(step, state, seg_block)
 
 
@@ -636,15 +662,17 @@ def build_sweep(cfg: PFConfig):
     hit the jit cache."""
 
     def sweep(state, seg_block, epochs, mutation_rate, rho, lags,
-              bias_heights=None, bias_strengths=None, delays=None):
+              bias_heights=None, bias_strengths=None, delays=None, tblq=None):
         if cfg.use_bias:
             bias_heights = jnp.asarray(bias_heights, jnp.float32)
             bias_strengths = jnp.asarray(bias_strengths, jnp.float32)
             delays = jnp.asarray(delays, jnp.float32)
+        if cfg.apf > 0:
+            tblq = tuple(jnp.asarray(t, jnp.float32) for t in tblq)
         return _sweep_jit(cfg, state, seg_block, epochs,
                           jnp.float32(mutation_rate), jnp.float32(rho),
                           jnp.asarray(lags, jnp.float32),
-                          bias_heights, bias_strengths, delays)
+                          bias_heights, bias_strengths, delays, tblq)
 
     return sweep
 
