@@ -121,10 +121,19 @@ def parse_smc2_args(argv: list[str]):
         elif o == "-online":
             cfg.online = True
             i += 1
-        elif o == "-xr":
-            io["xr"] = take()  # epoch range excluded from recomb inference
-        elif o == "-xc":
-            io["xc"] = take()  # epoch range excluded from coal inference
+        elif o in ("-xr", "-xc"):
+            # epoch or 0-based closed epoch range, e.g. "0-10"
+            # (pfparam.cpp:82-99 readRange + record_event_in_epoch masks)
+            spec = take()
+            lo, _, hi = spec.partition("-")
+            epochs_rng = tuple(range(int(lo), int(hi or lo) + 1))
+            if o == "-xr":
+                cfg.xr_epochs = tuple(cfg.xr_epochs) + epochs_rng
+            else:
+                cfg.xc_epochs = tuple(cfg.xc_epochs) + epochs_rng
+        elif o == "-apf":
+            # auxiliary particle filter level 0-4 (pfparam.cpp:147-151)
+            cfg.apf = int(take())
         elif o == "-vb":
             cfg.vb = True
             i += 1
