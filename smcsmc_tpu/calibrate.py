@@ -44,7 +44,10 @@ def calibrate_survival(
         np.logspace(2, np.log10(distance * 10), num_bins - 1), jnp.float32
     )
 
-    trees = make_initial_trees(key, epochs, P, jnp.asarray(sample_pop))
+    trees = make_initial_trees(
+        key, epochs, P, jnp.asarray(sample_pop),
+        max_mig=16 if has_migration else 0,
+    )
     N = trees.parent.shape[1]
     k1, k2, key = jax.random.split(key, 3)
     tl0 = jax.vmap(total_branch_length)(trees.time, trees.parent)
@@ -154,7 +157,7 @@ def terminal_branch_quantiles(
 
     @jax.jit
     def sim(k):
-        trees = make_initial_trees(k, epochs, batch, sample_pop)
+        trees = make_initial_trees(k, epochs, batch, sample_pop, max_mig=0)
         pt = jnp.take_along_axis(
             trees.time, jnp.clip(trees.parent[:, :n], 0, None), axis=1
         )  # [batch, n] leaf parent heights

@@ -175,7 +175,14 @@ def parse_smc2_args(argv: list[str]):
         elif o == "-lag_fraction":
             cfg.lag_fraction = float(take())
         elif o == "-alpha":
+            # fraction of posterior recombination mixed into the guide
+            # (model.py:246-249); > 0 activates the record->smooth->guide
+            # loop, < 0 disables recording
             io["alpha"] = float(take())
+            cfg.alpha = io["alpha"]
+        elif o == "-guide":
+            # explicit recombination guide file (model.py:1060-1061)
+            cfg.guide_file = take()
         elif o == "-smcsmcpath":
             take()  # compatibility no-op: there is no external binary
         elif o in ("-v", "--version"):
@@ -233,6 +240,8 @@ Core options (reference parity: smcsmc/model.py, src/pfparam.cpp):
   -chunks INT        genome chunks processed independently [1]
   -maxgap/-minseg    chunking controls
   -ancestral_aware   allele 0 is ancestral
+  -alpha FLOAT       recombination-guide mix-in fraction (0 disables) [0]
+  -guide FILE        explicit recombination guide file
   -seed INT          random seed
   -@ FILE            read options from file
 """

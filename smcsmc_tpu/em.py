@@ -70,6 +70,14 @@ class EMConfig:
     bias_strengths: tuple = ()  # one per section
     delay: float = 0.5  # delay fraction of survival (pfparam.cpp:223)
     lag_fraction: float = 2.0  # lag = fraction * survival (pfparam.cpp:222)
+    # recombination guide loop (-alpha, model.py:65,1125-1148): alpha > 0
+    # records per-window local recombination evidence (.recomb.gz), smooths
+    # it (WBS) into a guide between iterations, and samples recombination
+    # positions/points from the guide with importance weights
+    alpha: float = 0.0
+    beta: float = 4.0  # WBS smoothness (model.py:68)
+    guide_file: str | None = None  # explicit guide for iteration 0 (-guide)
+    guide_interval: float = 100.0  # local_recording_interval_ (count.hpp:115)
 
 
 def prior_pseudostats(demo: Demography):
@@ -198,12 +206,14 @@ def run_chunk(
     cfg: EMConfig,
     chunk=(None, None),
     seed: int = 1,
+    guide_file: str | None = None,
 ):
     """One particle-filter sweep over (a chunk of) the genome; returns host
     SuffStats, the w^2 stats, the log-likelihood, and diagnostics.
 
     Equivalent of one `smcsmc -EM 0` subprocess in the reference
-    (model.py:1050-1100 e_step -> smcsmc.cpp:278 pfARG_core)."""
+    (model.py:1050-1100 e_step -> smcsmc.cpp:278 pfARG_core).
+    ``guide_file`` activates guided recombination sampling (-guide)."""
     start, end = chunk
     if start is not None:
         seg = slice_seg(seg, start, end)
@@ -215,6 +225,10 @@ def run_chunk(
     max_seg_len = 2.0 / max(4.0 * demo.n0 * demo.recombination_rate, 1e-30)
     seg = split_long_segments(seg, max_seg_len)
 
+    chunk_len = float(seg.end) - chunk_start
+    num_windows = (
+        int(np.ceil(chunk_len / cfg.guide_interval)) if cfg.alpha > 0 else 0
+    )
     epochs = epochs_from_demography(demo)
     pfcfg = PFConfig(
         num_particles=cfg.num_particles,
@@ -227,6 +241,9 @@ def run_chunk(
         and any(s != 1.0 for s in cfg.bias_strengths),
         apf=cfg.apf,
         record_arg=cfg.record_arg,
+        num_windows=num_windows,
+        window_size=cfg.guide_interval,
+        use_guide=guide_file is not None,
     )
     rho = demo.recombination_rate
     delays_cal = None
@@ -245,9 +262,23 @@ def run_chunk(
     else:
         lags = jnp.asarray(default_lags(epochs, rho))
 
+    guide = None
+    if pfcfg.use_guide:
+        from .recombio import guide_to_windows
+
+        guide = guide_to_windows(
+            guide_file, chunk_start, chunk_len, cfg.guide_interval
+        )
+        if guide[1].shape[1] != demo.num_samples:
+            raise ValueError(
+                f"guide file has {guide[1].shape[1]} leaf columns, "
+                f"expected {demo.num_samples}"
+            )
+
     key = jax.random.PRNGKey(seed)
     state = init_state(
-        key, epochs, pfcfg, demo.sample_pops, rho, sample_time=demo.sample_times
+        key, epochs, pfcfg, demo.sample_pops, rho,
+        sample_time=demo.sample_times, guide=guide,
     )
     sweep = build_sweep(pfcfg)
 
@@ -255,6 +286,7 @@ def run_chunk(
     if pfcfg.use_bias:
         bias_heights = np.concatenate([[0.0], list(cfg.bias_heights), [3e38]])
         bias_strengths = np.asarray(cfg.bias_strengths, dtype=np.float32)
+    if pfcfg.use_bias or pfcfg.use_guide:
         # application delay = delay_fraction * survival (smcsmc.cpp:307); if
         # no calibration pre-pass ran, survival ~ lag / lag_fraction
         delays = (
@@ -289,7 +321,7 @@ def run_chunk(
     ):
         state, ess = sweep(state, block, epochs, cur_demo.mutation_rate, rho,
                            lags, bias_heights, bias_strengths, delays,
-                           tblq=tblq)
+                           tblq=tblq, guide=guide)
         ess_traces.append(np.asarray(ess))
         if cfg.online and float(state.front) > next_update:
             # online EM (count.cpp:44-63): refresh model rates mid-sweep from
@@ -304,7 +336,7 @@ def run_chunk(
             rho = cur_demo.recombination_rate
             next_update += cfg.online_interval
 
-    state = jax.jit(flush_pending)(state)
+    state = jax.jit(lambda s: flush_pending(s, cfg.guide_interval))(state)
 
     pseudo = prior_pseudostats(demo)
     stats = jax.tree_util.tree_map(
@@ -320,6 +352,16 @@ def run_chunk(
         "ess": np.concatenate(ess_traces) if ess_traces else np.array([]),
         "final_front": float(state.front),
     }
+    if num_windows > 0:
+        diag["local_recomb"] = {
+            "opp_diff": np.asarray(state.win_opp_diff, dtype=np.float64),
+            "leaf_cnt": np.asarray(state.win_leaf_cnt, dtype=np.float64),
+            "time_cnt": np.asarray(state.win_time_cnt, dtype=np.float64),
+            "logtime_cnt": np.asarray(state.win_logtime_cnt, dtype=np.float64),
+            "dropped": int(state.lr_dropped),
+            "start": chunk_start,
+            "window_size": cfg.guide_interval,
+        }
     if cfg.record_arg:
         # sample one particle ~ posterior weight (reference resamples down to
         # a single particle before printTrees, smcsmc.cpp:395-396)
@@ -477,10 +519,48 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
                 result.stats_wt.append(stats_wt)
                 result.log_likelihoods.append(logl)
                 continue
+        # recombination-guide preparation (model.py:1125-1143): smooth the
+        # previous iteration's .recomb.gz into per-chunk guide files
+        guide_files = [cfg.guide_file] * len(chunks)
+        if cfg.alpha > 0 and it > 0 and cfg.outdir:
+            from .processrecombination import LocalRecombination
+
+            os.makedirs(os.path.join(cfg.outdir, f"emiter{it}"), exist_ok=True)
+            for ci in range(len(chunks)):
+                recomb_path = os.path.join(
+                    cfg.outdir, f"emiter{it - 1}", f"chunk{ci}.recomb.gz"
+                )
+                if not os.path.exists(recomb_path):
+                    continue
+                lr = LocalRecombination(recomb_path, iteration=it - 1)
+                lr.smooth(cfg.alpha, cfg.beta)
+                gpath = os.path.join(
+                    cfg.outdir, f"emiter{it}", f"chunk{ci}.recomb_guide.gz"
+                )
+                lr.write_data(gpath)
+                guide_files[ci] = gpath
+
         per_chunk = [
-            run_chunk(current, seg, cfg, chunk=ch, seed=cfg.seed + 1000 * it + ci)
+            run_chunk(current, seg, cfg, chunk=ch,
+                      seed=cfg.seed + 1000 * it + ci,
+                      guide_file=guide_files[ci])
             for ci, ch in enumerate(chunks)
         ]
+        if cfg.alpha > 0 and cfg.outdir:
+            from .recombio import write_recomb
+
+            os.makedirs(os.path.join(cfg.outdir, f"emiter{it}"), exist_ok=True)
+            for ci, pc in enumerate(per_chunk):
+                lrd = pc[3].get("local_recomb")
+                if lrd is None:
+                    continue
+                write_recomb(
+                    os.path.join(cfg.outdir, f"emiter{it}",
+                                 f"chunk{ci}.recomb.gz"),
+                    it, lrd["window_size"], lrd["opp_diff"],
+                    lrd["leaf_cnt"], lrd["time_cnt"], lrd["logtime_cnt"],
+                    start_position=lrd["start"],
+                )
         stats = sum_stats([pc[0] for pc in per_chunk])
         stats_wt = sum_stats([pc[1] for pc in per_chunk])
         logl = sum(pc[2] for pc in per_chunk)

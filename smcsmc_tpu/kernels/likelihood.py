@@ -36,7 +36,9 @@ def _site_likelihood_one(
 
     order = jnp.argsort(tree_time[n:]) + n
 
-    def body(i, partial):
+    # unrolled height-ordered combine (n is static; the loop machinery of a
+    # fori_loop costs more than the 3-15 gather/fma steps it would hide)
+    for i in range(n - 1):
         v = order[i]
         c0, c1 = tree_children[v, 0], tree_children[v, 1]
         t0 = tree_time[v] - tree_time[c0]
@@ -46,9 +48,8 @@ def _site_likelihood_one(
         a0, a1 = partial[c0], partial[c1]
         m0 = a0 * p0 + a0[::-1] * (1.0 - p0)
         m1 = a1 * p1 + a1[::-1] * (1.0 - p1)
-        return partial.at[v].set(m0 * m1)
+        partial = partial.at[v].set(m0 * m1)
 
-    partial = jax.lax.fori_loop(0, n - 1, body, partial)
     # root = highest internal node; for n == 1 the single leaf is the root
     root = order[n - 2] if n > 1 else jnp.int32(0)
     return jnp.dot(partial[root], ancestral_prior)

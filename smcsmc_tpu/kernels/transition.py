@@ -60,6 +60,7 @@ class TransitionRecord(NamedTuple):
     recomb_height: jnp.ndarray  # scalar h_r
     coal_height: jnp.ndarray  # scalar t_c
     log_iw: jnp.ndarray  # scalar: log importance weight of the biased point
+    log_iw_bias: jnp.ndarray  # scalar: height-bias-only part of log_iw
     point_strength: jnp.ndarray  # bias strength at the sampled point
     c_node: jnp.ndarray  # recombining node (for ARG recording)
     coal_pop: jnp.ndarray  # population of the coalescence
@@ -85,21 +86,53 @@ def _sample_recomb_point(key, tree_time, tree_parent):
     return c, h_r
 
 
+def guide_branch_rates(
+    tree_time: jnp.ndarray,
+    tree_parent: jnp.ndarray,
+    tree_children: jnp.ndarray,
+    leaf_rates: jnp.ndarray,
+) -> jnp.ndarray:
+    """[N] relative guide rate on the branch above each node, built bottom-up
+    from per-leaf relative rates (reference sampleOrMeasureWeightedTree,
+    particle.cpp:972-1018): leaves carry their guide rate, internal branches
+    the arithmetic mean of their children's, and the two root-child branches
+    both carry the max of the pair (particle.cpp:1087-1094)."""
+    N = tree_time.shape[0]
+    n = (N + 1) // 2
+    r = jnp.concatenate([leaf_rates.astype(jnp.float32), jnp.zeros(n - 1)])
+    order = jnp.argsort(tree_time[n:]) + n  # internal nodes, lowest first
+    for i in range(n - 1):
+        v = order[i]
+        c0, c1 = tree_children[v, 0], tree_children[v, 1]
+        r = r.at[v].set(0.5 * (r[c0] + r[c1]))
+    root = order[n - 2] if n > 1 else jnp.int32(0)
+    rc0 = tree_children[root, 0]
+    rc1 = tree_children[root, 1]
+    mx = jnp.maximum(r[rc0], r[rc1])
+    r = r.at[rc0].set(mx).at[rc1].set(mx)
+    return r
+
+
 def _sample_recomb_point_biased(
-    key, tree_time, tree_parent, bias_heights, bias_strengths
+    key, tree_time, tree_parent, bias_heights, bias_strengths,
+    branch_rates=None,
 ):
-    """Height-biased point sampling (reference: samplePoint +
-    sampleOrMeasureWeightedTree/accumulateBranchLengths,
-    particle.cpp:942-1126): the sampling density on the tree is
-    ``strength(section(y)) / weighted_length`` instead of ``1/length``.
+    """Height-biased (and optionally guide-weighted) point sampling
+    (reference: samplePoint + sampleOrMeasureWeightedTree /
+    accumulateBranchLengths, particle.cpp:942-1126): the sampling density on
+    the tree is ``strength(section(y)) * branch_rate(y) / weighted_length``
+    instead of ``1/length``.
 
     bias_heights: [S+1] section boundaries (last = INF);
-    bias_strengths: [S] per-section weights.
+    bias_strengths: [S] per-section weights;
+    branch_rates: [N] per-branch relative guide rates (1.0 = no guiding).
 
-    Returns (c, h_r, log_iw) where log_iw is the importance weight
-    ``target_density/sampled_density = weighted_length /
-    (length * strength(y))`` — equal to the reference's
-    ``recombination_bias_importance_weight_`` when no guide is active.
+    Returns (c, h_r, log_iw, strength, log_iw_bias) where log_iw is the full
+    importance weight ``target_density/sampled_density``, and log_iw_bias its
+    height-bias-only part (computed against the bias-only weighted length,
+    particle.cpp:1068-1073,1113-1121) — the reference applies the bias part
+    immediately when the focal height falls in an unbiased section and delays
+    the rest (particle.cpp:874-891).
     """
     N = tree_time.shape[0]
     S = bias_strengths.shape[0]
@@ -108,7 +141,11 @@ def _sample_recomb_point_biased(
     hi = jnp.minimum(pt[:, None], bias_heights[None, 1:])
     seg = jnp.clip(hi - lo, 0.0, None)
     seg = jnp.where(tree_parent[:, None] < 0, 0.0, seg)
-    wseg = seg * bias_strengths[None, :]
+    wseg_bias = seg * bias_strengths[None, :]
+    if branch_rates is not None:
+        wseg = wseg_bias * branch_rates[:, None]
+    else:
+        wseg = wseg_bias
     flat_w = wseg.reshape(-1)
     cum = jnp.cumsum(flat_w)
     weighted_total = cum[-1]
@@ -120,14 +157,26 @@ def _sample_recomb_point_biased(
     s = idx % S
     prev = jnp.where(idx > 0, cum[jnp.maximum(idx - 1, 0)], 0.0)
     strength = bias_strengths[s]
-    h_r = lo[c, s] + (x - prev) / jnp.maximum(strength, 1e-30)
-    # IW = (1/L) / (strength/WL)
+    local_w = strength
+    if branch_rates is not None:
+        local_w = strength * branch_rates[c]
+    h_r = lo[c, s] + (x - prev) / jnp.maximum(local_w, 1e-30)
+    # full IW = (1/L) / (local_w/WL_full)
     log_iw = (
         jnp.log(weighted_total)
         - jnp.log(jnp.maximum(plain_total, 1e-30))
-        - jnp.log(jnp.maximum(strength, 1e-30))
+        - jnp.log(jnp.maximum(local_w, 1e-30))
     )
-    return c, h_r, log_iw, strength
+    if branch_rates is not None:
+        wtot_bias = jnp.sum(wseg_bias)
+        log_iw_bias = (
+            jnp.log(wtot_bias)
+            - jnp.log(jnp.maximum(plain_total, 1e-30))
+            - jnp.log(jnp.maximum(strength, 1e-30))
+        )
+    else:
+        log_iw_bias = log_iw
+    return c, h_r, log_iw, strength, log_iw_bias
 
 
 # ---------------------------------------------------------------------------
@@ -545,16 +594,27 @@ def _transition_one(
     max_events: int,
     bias_heights=None,
     bias_strengths=None,
+    leaf_rates=None,
 ):
     E = epochs.num_epochs
     k_rec, k_walk = jax.random.split(key)
-    if bias_strengths is not None:
-        c, h_r, log_iw, strength = _sample_recomb_point_biased(
-            k_rec, time, parent, bias_heights, bias_strengths
+    if bias_strengths is not None or leaf_rates is not None:
+        if bias_strengths is None:
+            # guide without height bias: one all-heights section of strength 1
+            bias_heights = jnp.asarray([0.0, INF], jnp.float32)
+            bias_strengths = jnp.asarray([1.0], jnp.float32)
+        br = (
+            guide_branch_rates(time, parent, children, leaf_rates)
+            if leaf_rates is not None
+            else None
+        )
+        c, h_r, log_iw, strength, log_iw_bias = _sample_recomb_point_biased(
+            k_rec, time, parent, bias_heights, bias_strengths, br
         )
     else:
         c, h_r = _sample_recomb_point(k_rec, time, parent)
         log_iw = jnp.float32(0.0)
+        log_iw_bias = jnp.float32(0.0)
         strength = jnp.float32(1.0)
 
     if has_migration:
@@ -589,6 +649,7 @@ def _transition_one(
         recomb_height=h_r,
         coal_height=t_c,
         log_iw=log_iw,
+        log_iw_bias=log_iw_bias,
         point_strength=strength,
         c_node=c,
         coal_pop=fpop_c,
@@ -605,19 +666,21 @@ def recombination_transition(
     max_events: int = 256,
     bias_heights=None,
     bias_strengths=None,
+    leaf_rates=None,
 ):
     """Apply one masked SMC' transition to every active particle.
 
     ``active`` [P] bool — particles whose next recombination position falls
     inside the current update window; inactive particles pass through
-    untouched and record zeros.
+    untouched and record zeros.  ``leaf_rates`` [P, n] (optional) are
+    per-particle relative guide rates at each leaf (pfparam.hpp:96-223).
     """
     has_mig_arrays = trees.mig_time is not None
 
-    def one(key, parent, time, pop, children, mig_time, mig_dest, act):
+    def one(key, parent, time, pop, children, mig_time, mig_dest, act, lrates):
         (pf, tf, popf, cf, mtf, mdf), rec = _transition_one(
             key, parent, time, pop, mig_time, mig_dest, children, epochs,
-            has_migration, max_events, bias_heights, bias_strengths,
+            has_migration, max_events, bias_heights, bias_strengths, lrates,
         )
         pf = jnp.where(act, pf, parent)
         tf = jnp.where(act, tf, time)
@@ -631,15 +694,22 @@ def recombination_transition(
         )
         return (pf, tf, popf, cf, mtf, mdf), rec
 
+    lr_ax = None if leaf_rates is None else 0
     if has_mig_arrays:
-        (pf, tf, popf, cf, mtf, mdf), rec = jax.vmap(one)(
+        (pf, tf, popf, cf, mtf, mdf), rec = jax.vmap(
+            one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, lr_ax)
+        )(
             keys, trees.parent, trees.time, trees.pop, trees.children,
-            trees.mig_time, trees.mig_dest, active,
+            trees.mig_time, trees.mig_dest, active, leaf_rates,
         )
     else:
         (pf, tf, popf, cf, mtf, mdf), rec = jax.vmap(
-            lambda k, p, t, po, ch, a: one(k, p, t, po, ch, None, None, a)
-        )(keys, trees.parent, trees.time, trees.pop, trees.children, active)
+            lambda k, p, t, po, ch, a, lrr: one(
+                k, p, t, po, ch, None, None, a, lrr
+            ),
+            in_axes=(0, 0, 0, 0, 0, 0, lr_ax),
+        )(keys, trees.parent, trees.time, trees.pop, trees.children, active,
+          leaf_rates)
     return (
         Trees(
             parent=pf, time=tf, pop=popf, children=cf, mig_time=mtf, mig_dest=mdf

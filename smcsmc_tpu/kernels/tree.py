@@ -173,27 +173,41 @@ def branch_length_per_epoch(
     return jnp.sum(overlap, axis=1)
 
 
+def leaf_ancestor_ids(tree_parent: jnp.ndarray) -> jnp.ndarray:
+    """[n, n] node ids: column 0 is each leaf itself, column k its k-th
+    ancestor (-1 past the root).  A leaf has at most n-1 ancestors, so n
+    columns cover every root path.  Fully vectorized (n-1 unrolled gathers)
+    — replaces height-ordered sequential traversals."""
+    N = tree_parent.shape[0]
+    n = (N + 1) // 2
+    cols = [jnp.arange(n, dtype=jnp.int32)]
+    cur = cols[0]
+    for _ in range(n - 1):
+        cur = jnp.where(cur >= 0, tree_parent[jnp.clip(cur, 0, N - 1)], -1)
+        cols.append(cur)
+    return jnp.stack(cols, axis=1)
+
+
 def count_data_leaves_below(
     tree_children: jnp.ndarray,
     tree_time: jnp.ndarray,
     has_data: jnp.ndarray,
+    tree_parent: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """[N] number of data-carrying leaves below (and including) each node.
 
-    Processes internal nodes in height order (parents are always higher than
-    children in a coalescent tree), replacing the reference's recursion
-    (particle.cpp:706-730)."""
+    Scatter-adds each leaf's data flag onto its ancestor chain
+    (reference recursion: particle.cpp:706-730).  ``tree_parent`` is required
+    (kept last for call-site compatibility)."""
     N = tree_time.shape[0]
-    n = (N + 1) // 2
-    cnt = jnp.concatenate([has_data.astype(jnp.int32), jnp.zeros(n - 1, jnp.int32)])
-    order = jnp.argsort(tree_time[n:]) + n  # internal nodes, lowest first
-
-    def body(i, cnt):
-        v = order[i]
-        c0, c1 = tree_children[v, 0], tree_children[v, 1]
-        return cnt.at[v].set(cnt[c0] + cnt[c1])
-
-    return jax.lax.fori_loop(0, n - 1, body, cnt)
+    ids = leaf_ancestor_ids(tree_parent)  # [n, n]
+    idx = jnp.where(ids >= 0, ids, N)  # N = out of bounds -> dropped
+    vals = jnp.broadcast_to(
+        has_data.astype(jnp.int32)[:, None], ids.shape
+    )
+    return jnp.zeros((N,), jnp.int32).at[idx.reshape(-1)].add(
+        vals.reshape(-1), mode="drop"
+    )
 
 
 def data_branch_length(
@@ -205,7 +219,7 @@ def data_branch_length(
     """Total length of branches informative about mutations: branches with at
     least one data-carrying descendant, below the MRCA of the data leaves
     (reference: particle.cpp:699-730, ``trackLocalTreeBranchLength``)."""
-    cnt = count_data_leaves_below(tree_children, tree_time, has_data)
+    cnt = count_data_leaves_below(tree_children, tree_time, has_data, tree_parent)
     total = jnp.sum(has_data.astype(jnp.int32))
     bl = branch_lengths(tree_time, tree_parent)
     informative = (cnt >= 1) & (cnt < total)
@@ -213,26 +227,48 @@ def data_branch_length(
 
 
 def descendant_bitmask(
-    tree_children: jnp.ndarray, tree_time: jnp.ndarray
+    tree_children: jnp.ndarray,
+    tree_time: jnp.ndarray,
+    tree_parent: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """[N] u32 bitmask of sample leaves below each node (reference:
-    src/descendants.hpp:22-33 uses u64; u32 here keeps the kernel x64-free
-    on TPU, capping ARG descendant recording at 32 leaves)."""
+    """[N] u32 bitmask of sample leaves below each node, for <=32 leaves;
+    :func:`descendant_bitmask64` covers the reference's full 64-leaf
+    contract (descendants.hpp:16).
+
+    Scatter-based: each leaf ORs its bit onto its ancestor chain (bits are
+    disjoint across leaves, so add == or)."""
     N = tree_time.shape[0]
     n = (N + 1) // 2
-    mask = jnp.concatenate(
-        [
-            (jnp.uint32(1) << jnp.arange(n, dtype=jnp.uint32)),
-            jnp.zeros(n - 1, dtype=jnp.uint32),
-        ]
+    ids = leaf_ancestor_ids(tree_parent)
+    idx = jnp.where(ids >= 0, ids, N)
+    bits = jnp.broadcast_to(
+        (jnp.uint32(1) << jnp.arange(n, dtype=jnp.uint32))[:, None], ids.shape
     )
-    order = jnp.argsort(tree_time[n:]) + n
+    return jnp.zeros((N,), jnp.uint32).at[idx.reshape(-1)].add(
+        bits.reshape(-1), mode="drop"
+    )
 
-    def body(i, mask):
-        v = order[i]
-        return mask.at[v].set(mask[tree_children[v, 0]] | mask[tree_children[v, 1]])
 
-    return jax.lax.fori_loop(0, n - 1, body, mask)
+def descendant_bitmask64(
+    tree_children: jnp.ndarray,
+    tree_time: jnp.ndarray,
+    tree_parent: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[N] (lo, hi) u32 pair covering up to 64 sample leaves — full parity
+    with the reference's u64 Descendants_t (descendants.hpp:16-33) without
+    requiring x64 mode on TPU."""
+    N = tree_time.shape[0]
+    n = (N + 1) // 2
+    ids = leaf_ancestor_ids(tree_parent)
+    idx = jnp.where(ids >= 0, ids, N).reshape(-1)
+    leaf = jnp.arange(n, dtype=jnp.uint32)
+    bit_lo = jnp.where(leaf < 32, jnp.uint32(1) << (leaf % 32), jnp.uint32(0))
+    bit_hi = jnp.where(leaf >= 32, jnp.uint32(1) << (leaf % 32), jnp.uint32(0))
+    blo = jnp.broadcast_to(bit_lo[:, None], ids.shape).reshape(-1)
+    bhi = jnp.broadcast_to(bit_hi[:, None], ids.shape).reshape(-1)
+    lo = jnp.zeros((N,), jnp.uint32).at[idx].add(blo, mode="drop")
+    hi = jnp.zeros((N,), jnp.uint32).at[idx].add(bhi, mode="drop")
+    return lo, hi
 
 
 # ---------------------------------------------------------------------------
@@ -276,163 +312,6 @@ def sample_piecewise_exponential(
 # ---------------------------------------------------------------------------
 
 
-def _sample_initial_tree(
-    key: jnp.ndarray,
-    epochs: Epochs,
-    n: int,
-    sample_pop: jnp.ndarray,
-    sample_time: jnp.ndarray,
-    max_mig: int,
-    max_iters: int,
-) -> tuple:
-    """Single-particle structured-coalescent draw: event-driven walk over
-    {epoch boundary, sample activation, migration, coalescence} events with
-    per-branch migration-event recording.  Replaces scrm's
-    ``buildInitialTree`` (used at particleContainer.cpp:33-65)."""
-    N = 2 * n - 1
-    E = epochs.num_epochs
-    Pp = epochs.num_pops
-    parent = jnp.full((N,), NO_NODE, dtype=jnp.int32)
-    time = jnp.concatenate([sample_time.astype(jnp.float32), jnp.zeros(n - 1)])
-    pop = jnp.concatenate([sample_pop, jnp.zeros(n - 1, jnp.int32)])
-    children = jnp.full((N, 2), NO_NODE, dtype=jnp.int32)
-    mig_time = jnp.full((N, max_mig), INF, dtype=jnp.float32)
-    mig_dest = jnp.zeros((N, max_mig), dtype=jnp.int32)
-    # slot arrays over leaves+merges: node id / alive / current raw pop
-    node_id = jnp.arange(n, dtype=jnp.int32)
-    alive = sample_time <= 0.0
-    cur_pop = sample_pop.astype(jnp.int32)
-    state = dict(
-        key=key,
-        parent=parent,
-        time=time,
-        pop=pop,
-        children=children,
-        mig_time=mig_time,
-        mig_dest=mig_dest,
-        node_id=node_id,
-        alive=alive,
-        cur_pop=cur_pop,
-        t=jnp.float32(0.0),
-        next_id=jnp.int32(n),
-        it=jnp.int32(0),
-    )
-
-    def cond(s):
-        return (jnp.sum(s["alive"]) + jnp.sum(sample_time > s["t"]) > 1) & (
-            s["it"] < max_iters
-        )
-
-    def body(s):
-        key, k1, k2, k3, k4 = jax.random.split(s["key"], 5)
-        t = s["t"]
-        e = jnp.clip(jnp.searchsorted(epochs.start, t, side="right") - 1, 0, E - 1)
-        pm = epochs.pop_map[e]
-        mapped = jnp.where(s["alive"], pm[s["cur_pop"]], -1)
-        counts = jnp.sum(
-            mapped[None, :] == jnp.arange(Pp)[:, None], axis=1
-        ).astype(jnp.float32)
-        coal_rates = counts * (counts - 1) / 2.0 / (2.0 * epochs.ne[e])  # [Pp]
-        mig_out = jnp.sum(epochs.mig[e], axis=1)  # [Pp] total out-rate
-        lin_mig = jnp.where(s["alive"], mig_out[pm[s["cur_pop"]]], 0.0)  # [n]
-        total = jnp.sum(coal_rates) + jnp.sum(lin_mig)
-        # next breakpoint: epoch end or next sample activation
-        e_end = jnp.where(e + 1 < E, epochs.start[jnp.minimum(e + 1, E - 1)], INF)
-        future = jnp.where(sample_time > t, sample_time.astype(jnp.float32), INF)
-        t_bk = jnp.minimum(e_end, jnp.min(future))
-        u = jax.random.uniform(k1, (), minval=1e-7, maxval=1.0 - 1e-7)
-        dt = jnp.where(total > 0, -jnp.log1p(-u) / jnp.maximum(total, 1e-30), INF)
-        hit_bk = t + dt >= t_bk
-
-        def at_breakpoint(s):
-            # activate any samples at t_bk
-            act = jnp.isclose(sample_time.astype(jnp.float32), t_bk)
-            return {
-                **s,
-                "alive": s["alive"] | act,
-                "t": t_bk,
-                "key": key,
-                "it": s["it"] + 1,
-            }
-
-        def at_event(s):
-            t_new = t + dt
-            # choose coalescence-in-pop vs per-lineage migration
-            weights = jnp.concatenate([coal_rates, lin_mig])
-            idx = jax.random.categorical(k2, jnp.log(jnp.maximum(weights, 1e-30)))
-
-            def coalesce(s):
-                cpop = idx
-                in_pop = (mapped == cpop) & s["alive"]
-                m = jnp.sum(in_pop)
-                r1 = jax.random.randint(k3, (), 0, jnp.maximum(m, 1))
-                r2 = jax.random.randint(k4, (), 0, jnp.maximum(m - 1, 1))
-                r2 = jnp.where(r2 >= r1, r2 + 1, r2)
-                csum = jnp.cumsum(in_pop.astype(jnp.int32)) - 1
-                slot1 = jnp.argmax((csum == r1) & in_pop)
-                slot2 = jnp.argmax((csum == r2) & in_pop)
-                a, b = s["node_id"][slot1], s["node_id"][slot2]
-                m_id = s["next_id"]
-                parent = s["parent"].at[a].set(m_id).at[b].set(m_id)
-                children = s["children"].at[m_id, 0].set(a).at[m_id, 1].set(b)
-                time = s["time"].at[m_id].set(t_new)
-                pop = s["pop"].at[m_id].set(cpop)
-                node_id = s["node_id"].at[slot1].set(m_id)
-                alive = s["alive"].at[slot2].set(False)
-                cur_pop = s["cur_pop"].at[slot1].set(cpop)
-                return {
-                    **s,
-                    "parent": parent,
-                    "children": children,
-                    "time": time,
-                    "pop": pop,
-                    "node_id": node_id,
-                    "alive": alive,
-                    "cur_pop": cur_pop,
-                    "next_id": m_id + 1,
-                    "t": t_new,
-                    "key": key,
-                    "it": s["it"] + 1,
-                }
-
-            def migrate(s):
-                slot = idx - Pp
-                src = pm[s["cur_pop"][slot]]
-                w = epochs.mig[e, src]
-                dest = jax.random.categorical(
-                    k3, jnp.log(jnp.maximum(w, 1e-30))
-                ).astype(jnp.int32)
-                node = s["node_id"][slot]
-                cnt = jnp.sum(s["mig_time"][node] < INF)
-                cnt = jnp.minimum(cnt, max_mig - 1)
-                mig_time = s["mig_time"].at[node, cnt].set(t_new)
-                mig_dest = s["mig_dest"].at[node, cnt].set(dest)
-                cur_pop = s["cur_pop"].at[slot].set(dest)
-                return {
-                    **s,
-                    "mig_time": mig_time,
-                    "mig_dest": mig_dest,
-                    "cur_pop": cur_pop,
-                    "t": t_new,
-                    "key": key,
-                    "it": s["it"] + 1,
-                }
-
-            return jax.lax.cond(idx < Pp, coalesce, migrate, s)
-
-        return jax.lax.cond(hit_bk, at_breakpoint, at_event, s)
-
-    s = jax.lax.while_loop(cond, body, state)
-    return (
-        s["parent"],
-        s["time"],
-        s["pop"],
-        s["children"],
-        s["mig_time"],
-        s["mig_dest"],
-    )
-
-
 def make_initial_trees(
     key: jnp.ndarray,
     epochs: Epochs,
@@ -443,21 +322,188 @@ def make_initial_trees(
     max_iters: int = 256,
 ) -> Trees:
     """Draw the initial particle population of genealogies at sequence
-    position 0 (reference: particleContainer.cpp:33-65)."""
-    n = sample_pop.shape[0]
+    position 0 (reference: particleContainer.cpp:33-65) by an event-driven
+    structured-coalescent walk over {epoch boundary, sample activation,
+    migration, coalescence}, with per-branch migration-event recording.
+
+    Population-batched by construction: ONE ``lax.while_loop`` advances all
+    particles in lock-step with explicit per-particle done-masking, instead
+    of vmapping a scalar while loop (vmapped while lane-masking miscompiles
+    on some TPU runtimes for batches >= 1024 — observed corrupting ~93% of
+    trees — and lock-step masking is the idiomatic SPMD formulation anyway).
+
+    ``max_mig=0`` omits the per-branch migration-event buffers entirely
+    (migration-free models: no buffer sorts anywhere downstream)."""
+    n = int(sample_pop.shape[0])
     if sample_time is None:
         sample_time = jnp.zeros((n,), dtype=jnp.float32)
-    keys = jax.random.split(key, num_particles)
-    parent, time, pop, children, mig_time, mig_dest = jax.vmap(
-        lambda k: _sample_initial_tree(
-            k, epochs, n, sample_pop, sample_time, max_mig, max_iters
+    sample_time = jnp.asarray(sample_time, jnp.float32)
+    sample_pop = jnp.asarray(sample_pop, jnp.int32)
+    P = num_particles
+    N = 2 * n - 1
+    E, Pp = epochs.num_epochs, epochs.num_pops
+    rowid = jnp.arange(P)
+
+    state = dict(
+        key=key,
+        parent=jnp.full((P, N), NO_NODE, dtype=jnp.int32),
+        time=jnp.broadcast_to(
+            jnp.concatenate([sample_time, jnp.zeros(n - 1)]), (P, N)
+        ),
+        pop=jnp.broadcast_to(
+            jnp.concatenate([sample_pop, jnp.zeros(n - 1, jnp.int32)]), (P, N)
+        ),
+        children=jnp.full((P, N, 2), NO_NODE, dtype=jnp.int32),
+        # slot arrays over leaves+merges: node id / alive / current raw pop
+        node_id=jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (P, n)),
+        alive=jnp.broadcast_to(sample_time <= 0.0, (P, n)),
+        cur_pop=jnp.broadcast_to(sample_pop, (P, n)),
+        t=jnp.zeros((P,)),
+        next_id=jnp.full((P,), n, jnp.int32),
+        it=jnp.int32(0),
+    )
+    if max_mig:
+        state["mig_time"] = jnp.full((P, N, max_mig), INF, dtype=jnp.float32)
+        state["mig_dest"] = jnp.zeros((P, N, max_mig), dtype=jnp.int32)
+
+    def live(s):
+        # particle still has >1 active-or-pending lineages
+        return (
+            jnp.sum(s["alive"], axis=1)
+            + jnp.sum(sample_time[None, :] > s["t"][:, None], axis=1)
+        ) > 1
+
+    def cond(s):
+        return jnp.any(live(s)) & (s["it"] < max_iters)
+
+    def body(s):
+        key, k1, k2, k3, k4, k5 = jax.random.split(s["key"], 6)
+        go = live(s)  # [P]
+        t = s["t"]
+        e = jnp.clip(
+            jnp.searchsorted(epochs.start, t, side="right") - 1, 0, E - 1
+        )  # [P]
+        pm = epochs.pop_map[e]  # [P, Pp]
+        mapped = jnp.where(
+            s["alive"],
+            jnp.take_along_axis(pm, s["cur_pop"], axis=1),
+            -1,
+        )  # [P, n]
+        counts = jnp.sum(
+            mapped[:, None, :] == jnp.arange(Pp)[None, :, None], axis=2
+        ).astype(jnp.float32)  # [P, Pp]
+        ne_e = epochs.ne[e]  # [P, Pp]
+        coal_rates = counts * (counts - 1) / 2.0 / (2.0 * ne_e)  # [P, Pp]
+        mig_out = jnp.sum(epochs.mig[e], axis=2)  # [P, Pp] total out-rate
+        lin_mig = jnp.where(
+            s["alive"], jnp.take_along_axis(mig_out, mapped * (mapped >= 0), axis=1), 0.0
+        )  # [P, n]
+        total = jnp.sum(coal_rates, axis=1) + jnp.sum(lin_mig, axis=1)  # [P]
+        # next breakpoint: epoch end or next sample activation
+        e_end = jnp.where(e + 1 < E, epochs.start[jnp.minimum(e + 1, E - 1)], INF)
+        future = jnp.where(
+            sample_time[None, :] > t[:, None], sample_time[None, :], INF
         )
-    )(keys)
+        t_bk = jnp.minimum(e_end, jnp.min(future, axis=1))  # [P]
+        u = jax.random.uniform(k1, (P,), minval=1e-7, maxval=1.0 - 1e-7)
+        dt = jnp.where(total > 0, -jnp.log1p(-u) / jnp.maximum(total, 1e-30), INF)
+        hit_bk = t + dt >= t_bk
+        t_new = jnp.where(hit_bk, t_bk, t + dt)
+
+        # --- event choice: coalescence-in-pop vs per-lineage migration ----
+        weights = jnp.concatenate([coal_rates, lin_mig], axis=1)  # [P, Pp+n]
+        idx = jax.random.categorical(
+            k2, jnp.log(jnp.maximum(weights, 1e-30)), axis=-1
+        )  # [P]
+        is_coal = idx < Pp
+
+        # --- coalescence lane --------------------------------------------
+        cpop = jnp.clip(idx, 0, Pp - 1)  # [P] population of the merge
+        in_pop = (mapped == cpop[:, None]) & s["alive"]  # [P, n]
+        m = jnp.sum(in_pop, axis=1)  # [P]
+        u1 = jax.random.uniform(k3, (P,))
+        u2 = jax.random.uniform(k4, (P,))
+        r1 = jnp.floor(u1 * jnp.maximum(m, 1)).astype(jnp.int32)
+        r2 = jnp.floor(u2 * jnp.maximum(m - 1, 1)).astype(jnp.int32)
+        r2 = jnp.where(r2 >= r1, r2 + 1, r2)
+        csum = jnp.cumsum(in_pop.astype(jnp.int32), axis=1) - 1  # [P, n]
+        slot1 = jnp.argmax((csum == r1[:, None]) & in_pop, axis=1)  # [P]
+        slot2 = jnp.argmax((csum == r2[:, None]) & in_pop, axis=1)
+        a = s["node_id"][rowid, slot1]
+        b = s["node_id"][rowid, slot2]
+        m_id = s["next_id"]
+        do_coal = go & ~hit_bk & is_coal & (m >= 2)
+
+        def setm(arr, i1, val, mask):
+            # masked scatter: unmasked rows write their old value back
+            return arr.at[rowid, i1].set(jnp.where(mask, val, arr[rowid, i1]))
+
+        parent = setm(s["parent"], a, m_id, do_coal)
+        parent = setm(parent, b, m_id, do_coal)
+        children = s["children"].at[rowid, m_id, 0].set(
+            jnp.where(do_coal, a, s["children"][rowid, m_id, 0])
+        )
+        children = children.at[rowid, m_id, 1].set(
+            jnp.where(do_coal, b, children[rowid, m_id, 1])
+        )
+        time = setm(s["time"], m_id, t_new, do_coal)
+        pop = setm(s["pop"], m_id, cpop, do_coal)
+        node_id = setm(s["node_id"], slot1, m_id, do_coal)
+        alive = setm(s["alive"], slot2, jnp.zeros((P,), bool), do_coal)
+        cur_pop = setm(s["cur_pop"], slot1, cpop, do_coal)
+        next_id = jnp.where(do_coal, m_id + 1, m_id)
+
+        # --- migration lane ----------------------------------------------
+        do_mig = go & ~hit_bk & ~is_coal
+        slot = jnp.clip(idx - Pp, 0, n - 1)  # [P]
+        src = jnp.take_along_axis(pm, cur_pop[rowid, slot][:, None], axis=1)[
+            :, 0
+        ]
+        w = epochs.mig[e, src]  # [P, Pp]
+        dest = jax.random.categorical(
+            k5, jnp.log(jnp.maximum(w, 1e-30)), axis=-1
+        ).astype(jnp.int32)
+        cur_pop = setm(cur_pop, slot, dest, do_mig)
+
+        out = dict(
+            key=key,
+            parent=parent,
+            time=time,
+            pop=pop,
+            children=children,
+            node_id=node_id,
+            alive=alive,
+            cur_pop=cur_pop,
+            t=jnp.where(go, t_new, t),
+            next_id=next_id,
+            it=s["it"] + 1,
+        )
+        if max_mig:
+            node = s["node_id"][rowid, slot]  # [P]
+            row_ev = s["mig_time"][rowid, node]  # [P, max_mig]
+            cnt = jnp.minimum(jnp.sum(row_ev < INF, axis=1), max_mig - 1)
+            out["mig_time"] = s["mig_time"].at[rowid, node, cnt].set(
+                jnp.where(do_mig, t_new, s["mig_time"][rowid, node, cnt])
+            )
+            out["mig_dest"] = s["mig_dest"].at[rowid, node, cnt].set(
+                jnp.where(do_mig, dest, s["mig_dest"][rowid, node, cnt])
+            )
+
+        # --- sample activation at breakpoints ----------------------------
+        act = (
+            go[:, None]
+            & hit_bk[:, None]
+            & jnp.isclose(sample_time[None, :], t_bk[:, None])
+        )
+        out["alive"] = out["alive"] | act
+        return out
+
+    s = jax.lax.while_loop(cond, body, state)
     return Trees(
-        parent=parent,
-        time=time,
-        pop=pop,
-        children=children,
-        mig_time=mig_time,
-        mig_dest=mig_dest,
+        parent=s["parent"],
+        time=s["time"],
+        pop=s["pop"],
+        children=s["children"],
+        mig_time=s.get("mig_time"),
+        mig_dest=s.get("mig_dest"),
     )

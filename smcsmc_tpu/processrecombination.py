@@ -35,9 +35,13 @@ class LocalRecombination:
 
     def _read_data(self, infile: str, iteration: int):
         rows = []
+        header_leaves = None
         with _open(infile) as fh:
             for line in fh:
                 if line.startswith("iter"):
+                    cols = line.strip().split("\t")
+                    # header: iter locus size opp_per_nt 1..n [time log_time]
+                    header_leaves = sum(1 for c in cols if c.isdigit())
                     continue
                 elts = line.strip().split()
                 it = int(elts[0])
@@ -55,8 +59,15 @@ class LocalRecombination:
         if np.any(locus[1:] != locus[:-1] + size[:-1]):
             raise ValueError("Found gaps or overlaps in input file")
         self.step = int(np.gcd.reduce(size))
+        self.start = int(locus[0])
         self.opp = np.array([r[2] for r in rows])  # per-nt opportunity
-        self.counts = np.array([r[3:] for r in rows])  # per-nt per-leaf counts
+        counts = np.array([r[3:] for r in rows])  # per-nt per-leaf counts
+        if header_leaves is not None and counts.shape[1] > header_leaves:
+            # drop the time/log_time columns (count.cpp:649-650); the
+            # reference reader predates them ("NOTE: will not work properly
+            # with the newfangled output files", processrecombination.py:14)
+            counts = counts[:, :header_leaves]
+        self.counts = counts
         self.leaves = self.counts.shape[1]
         # unmerge to uniform windows of self.step
         reps = (size // self.step).astype(int)
@@ -173,7 +184,10 @@ class LocalRecombination:
                 vals = sd[s]
                 rate = float(vals.sum())
                 rel = vals / (rate + 1e-30)
-                line = f"{s * self.step}\t{(e - s) * self.step}\t{rate:9.3e}"
+                line = (
+                    f"{self.start + s * self.step}\t{(e - s) * self.step}"
+                    f"\t{rate:9.3e}"
+                )
                 line += "".join(f"\t{v:5.3f}" for v in rel)
                 outfile.write(line + "\n")
         finally:

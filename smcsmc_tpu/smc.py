@@ -32,6 +32,7 @@ import numpy as np
 from .kernels.likelihood import site_likelihood
 from .kernels.transition import recombination_transition
 from .kernels.tree import (
+    INF,
     Epochs,
     Trees,
     branch_length_per_epoch,
@@ -92,11 +93,22 @@ class PFConfig:
     has_migration: bool = False  # continuous migration in the proposal walk
     max_walk_events: int = 256  # event bound for the migration walk
     use_bias: bool = False  # height-biased recombination sampling
+    max_mig: int = 16  # per-branch migration-event buffer capacity (unused
+    # buffers are omitted entirely when has_migration is False)
     apf: int = 0  # auxiliary-particle-filter level 0-4 (-apf, particle.cpp:439)
     delay_slots: int = 32  # delayed-importance-factor ring capacity
     delay_k: int = 3  # k-step geometric application (particle.cpp:891)
     record_arg: bool = False  # keep a per-particle ARG event log (-arg)
     arg_slots: int = 512  # ring capacity of the ARG log (newest kept)
+    # local recombination-guide recording (reference count.cpp:559-654);
+    # num_windows > 0 enables it.  Windows are chunk-relative.
+    num_windows: int = 0  # ceil(chunk_len / window_size)
+    window_size: float = 100.0  # local_recording_interval_ (count.hpp:115)
+    local_ring: int = 32  # pending (lagged) local-recomb event capacity
+    # recombination-guide consumption (pfparam.hpp:96-223): position-dependent
+    # proposal rate + per-leaf tree guiding.  Set by the EM driver when a
+    # guide file is active (-alpha > 0, model.py:1125-1143).
+    use_guide: bool = False
 
 
 class PFState(NamedTuple):
@@ -128,6 +140,18 @@ class PFState(NamedTuple):
     arg_to: jnp.ndarray = None  # [P, A]
     arg_desc: jnp.ndarray = None  # [P, A] u32 leaf bitmask
     arg_n: jnp.ndarray = None  # [P] total events pushed (ring index)
+    # local recombination-guide recording (count.cpp:559-613): global window
+    # accumulators + a per-particle pending-event ring committed with the
+    # particle's then-current weight once the front passes pos + lag
+    win_opp_diff: jnp.ndarray = None  # [W+1] differential opportunity density
+    win_leaf_cnt: jnp.ndarray = None  # [W, n] per-leaf event counts
+    win_time_cnt: jnp.ndarray = None  # [W] time-weighted counts
+    win_logtime_cnt: jnp.ndarray = None  # [W] log-time-weighted counts
+    lr_pos: jnp.ndarray = None  # [P, R] event position (INF = free slot)
+    lr_due: jnp.ndarray = None  # [P, R] commit position (pos + lag[epoch(h)])
+    lr_time: jnp.ndarray = None  # [P, R] recombination height
+    lr_desc: jnp.ndarray = None  # [P, R] u32 leaf bitmask of the cut branch
+    lr_dropped: jnp.ndarray = None  # [] i32 ring-overflow counter
 
 
 def init_state(
@@ -137,19 +161,37 @@ def init_state(
     sample_pop: np.ndarray,
     rho: float,
     sample_time: np.ndarray | None = None,
+    guide=None,
 ) -> PFState:
-    """Draw the initial particle population (particleContainer.cpp:33-65)."""
+    """Draw the initial particle population (particleContainer.cpp:33-65).
+
+    ``guide`` = (g_rate [W], g_leaf [W, n]) makes the first recombination
+    gap follow the position-dependent guide rate (see make_segment_step)."""
     P = cfg.num_particles
     E, Pp = epochs.num_epochs, epochs.num_pops
     k_tree, k_gap, key = jax.random.split(key, 3)
     trees = make_initial_trees(
         k_tree, epochs, P, jnp.asarray(sample_pop),
         None if sample_time is None else jnp.asarray(sample_time),
+        max_mig=cfg.max_mig if cfg.has_migration else 0,
     )
     treelen = jax.vmap(
         lambda t, p: jnp.sum(jnp.where(p < 0, 0.0, t[jnp.clip(p, 0, None)] - t))
     )(trees.time, trees.parent)
-    gap = jax.random.exponential(k_gap, (P,)) / jnp.maximum(rho * treelen, 1e-30)
+    gap_m = jax.random.exponential(k_gap, (P,)) / jnp.maximum(
+        rho * treelen, 1e-30
+    )
+    if guide is not None and cfg.use_guide:
+        ws = float(cfg.window_size)
+        g_rel = jnp.asarray(guide[0], jnp.float32) / max(float(rho), 1e-38)
+        cum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(g_rel * ws)])
+        j = jnp.clip(
+            jnp.searchsorted(cum, gap_m, side="right") - 1,
+            0, g_rel.shape[0] - 1,
+        )
+        gap = j * ws + (gap_m - cum[j]) / jnp.maximum(g_rel[j], 1e-30)
+    else:
+        gap = gap_m
     from .kernels.tree import INF
 
     K = cfg.delay_slots
@@ -178,6 +220,21 @@ def init_state(
         arg_to=jnp.full((P, cfg.arg_slots), -1, jnp.int8) if cfg.record_arg else None,
         arg_desc=jnp.zeros((P, cfg.arg_slots), jnp.uint32) if cfg.record_arg else None,
         arg_n=jnp.zeros((P,), jnp.int32) if cfg.record_arg else None,
+        **(
+            dict(
+                win_opp_diff=jnp.zeros((cfg.num_windows + 1,)),
+                win_leaf_cnt=jnp.zeros((cfg.num_windows, cfg.num_leaves)),
+                win_time_cnt=jnp.zeros((cfg.num_windows,)),
+                win_logtime_cnt=jnp.zeros((cfg.num_windows,)),
+                lr_pos=jnp.full((P, cfg.local_ring), INF),
+                lr_due=jnp.full((P, cfg.local_ring), INF),
+                lr_time=jnp.zeros((P, cfg.local_ring)),
+                lr_desc=jnp.zeros((P, cfg.local_ring), jnp.uint32),
+                lr_dropped=jnp.int32(0),
+            )
+            if cfg.num_windows > 0
+            else {}
+        ),
     )
 
 
@@ -188,15 +245,31 @@ def init_state(
 
 def _tree_summaries(trees: Trees, epochs: Epochs, leaf_status: jnp.ndarray,
                     has_data: jnp.ndarray):
-    """treelen [P], treelen_e [P, E], data branch length B [P]."""
+    """treelen [P], treelen_e [P, E], data branch length B [P].
+
+    ``leaf_status`` is a per-segment scalar (-1 all-missing / 0 mixed / 1
+    complete); the expensive mixed-data branch (ancestor-chain scatter,
+    particle.cpp:699-730) only executes for mixed segments via lax.switch."""
     tl_e = jax.vmap(
         lambda t, p: branch_length_per_epoch(t, p, epochs.start, epochs.end)
     )(trees.time, trees.parent)
     tl = jnp.sum(tl_e, axis=1)
-    full_b = jax.vmap(
-        lambda t, p, c: data_branch_length(t, p, c, has_data)
-    )(trees.time, trees.parent, trees.children)
-    B = jnp.where(leaf_status == 1, tl, jnp.where(leaf_status == -1, 0.0, full_b))
+
+    def b_missing():
+        return jnp.zeros_like(tl)
+
+    def b_mixed():
+        return jax.vmap(
+            lambda t, p, c: data_branch_length(t, p, c, has_data)
+        )(trees.time, trees.parent, trees.children)
+
+    def b_complete():
+        return tl
+
+    B = jax.lax.switch(
+        jnp.clip(leaf_status.astype(jnp.int32) + 1, 0, 2),
+        [b_missing, b_mixed, b_complete],
+    )
     return tl, tl_e, B
 
 
@@ -226,6 +299,11 @@ def _gather_particles(state: PFState, idx: jnp.ndarray) -> PFState:
         df_delta=g(state.df_delta),
         df_k=g(state.df_k),
     )
+    if state.lr_pos is not None:
+        state = state._replace(
+            lr_pos=g(state.lr_pos), lr_due=g(state.lr_due),
+            lr_time=g(state.lr_time), lr_desc=g(state.lr_desc),
+        )
     if state.arg_pos is not None:
         state = state._replace(
             arg_pos=g(state.arg_pos), arg_code=g(state.arg_code),
@@ -304,6 +382,93 @@ def _apply_due_delayed(df_pos, df_logf, df_delta, df_k, front):
     return add, df_pos, df_logf, df_delta, df_k
 
 
+def _push_local_event(lr, mask, pos, due, height, desc):
+    """Insert one pending local-recomb event per masked particle into the
+    first free ring slot (count.cpp:595-613 event columns; the ring models
+    the reference's lagged commit).  Overflow drops the event (counted)."""
+    lr_pos, lr_due, lr_time, lr_desc, lr_dropped = lr
+    P = lr_pos.shape[0]
+    free = lr_pos >= 0.5 * INF
+    has_free = jnp.any(free, axis=1)
+    slot = jnp.argmax(free, axis=1)
+    rowid = jnp.arange(P)
+    do = mask & has_free
+    lr_pos = lr_pos.at[rowid, slot].set(jnp.where(do, pos, lr_pos[rowid, slot]))
+    lr_due = lr_due.at[rowid, slot].set(jnp.where(do, due, lr_due[rowid, slot]))
+    lr_time = lr_time.at[rowid, slot].set(
+        jnp.where(do, height, lr_time[rowid, slot])
+    )
+    lr_desc = lr_desc.at[rowid, slot].set(
+        jnp.where(do, desc, lr_desc[rowid, slot])
+    )
+    lr_dropped = lr_dropped + jnp.sum(mask & ~has_free).astype(jnp.int32)
+    return (lr_pos, lr_due, lr_time, lr_desc, lr_dropped)
+
+
+def _add_window_opportunity(win_opp_diff, x_start, x_end, total_opp, ws):
+    """Differential per-window opportunity-density update
+    (count.cpp:563-587): the density is spread over [x_start, x_end) with
+    fractional first/last windows; cumsum at dump time recovers the
+    per-window density."""
+    W = win_opp_diff.shape[0] - 1
+    span = x_end - x_start
+    ok = span > 0
+    dens = jnp.where(ok, total_opp / jnp.maximum(span, 1e-30), 0.0)
+    fi = jnp.floor(x_start / ws).astype(jnp.int32)
+    li = jnp.floor(x_end / ws).astype(jnp.int32) + 1
+    f_int = jnp.minimum((fi + 1).astype(jnp.float32) * ws, x_end) - x_start
+    l_int = x_end - jnp.maximum((li - 1).astype(jnp.float32) * ws, x_start)
+    single = fi == li - 1
+    idx = jnp.stack([fi, fi + 1, li - 1, li])
+    vals = jnp.where(
+        single,
+        jnp.stack([f_int * dens, -f_int * dens, 0.0, 0.0]),
+        jnp.stack(
+            [f_int * dens, (ws - f_int) * dens, (l_int - ws) * dens,
+             -l_int * dens]
+        ),
+    )
+    idx = jnp.clip(idx, 0, W)
+    return win_opp_diff.at[idx].add(jnp.where(ok, vals, 0.0))
+
+
+def _commit_due_local(state: PFState, w: jnp.ndarray, front, ws: float):
+    """Scatter pending local-recomb events whose commit position has been
+    passed into the global window accumulators, weighted by the particles'
+    current normalized weights (count.cpp:595-613 semantics: weight at the
+    lagged commit, 1/num_descendants per descendant leaf, plus time and
+    log(time+1) columns)."""
+    W, n = state.win_leaf_cnt.shape
+    due = state.lr_due <= front  # [P, R]
+    widx = jnp.clip((state.lr_pos / ws).astype(jnp.int32), 0, W - 1)
+    bits = (
+        state.lr_desc[:, :, None] >> jnp.arange(n, dtype=jnp.uint32)
+    ) & jnp.uint32(1)  # [P, R, n]
+    nd = jnp.maximum(jnp.sum(bits, axis=-1), 1).astype(jnp.float32)  # [P, R]
+    wt = jnp.where(due, w[:, None], 0.0)  # [P, R]
+    leaf_vals = (wt / nd)[:, :, None] * bits.astype(jnp.float32)  # [P, R, n]
+    flat_idx = (widx[:, :, None] * n + jnp.arange(n)).reshape(-1)
+    win_leaf_cnt = (
+        state.win_leaf_cnt.reshape(-1)
+        .at[flat_idx]
+        .add(leaf_vals.reshape(-1))
+        .reshape(W, n)
+    )
+    win_time_cnt = state.win_time_cnt.at[widx.reshape(-1)].add(
+        (wt * state.lr_time).reshape(-1)
+    )
+    win_logtime_cnt = state.win_logtime_cnt.at[widx.reshape(-1)].add(
+        (wt * jnp.log(state.lr_time + 1.0)).reshape(-1)
+    )
+    return state._replace(
+        win_leaf_cnt=win_leaf_cnt,
+        win_time_cnt=win_time_cnt,
+        win_logtime_cnt=win_logtime_cnt,
+        lr_pos=jnp.where(due, INF, state.lr_pos),
+        lr_due=jnp.where(due, INF, state.lr_due),
+    )
+
+
 def _commit_slot(state: PFState, rotate_e: jnp.ndarray, slot: int) -> PFState:
     """Commit the oldest FIFO slot for the epochs in ``rotate_e`` using the
     particles' current normalized weights (count.cpp:448-555 semantics)."""
@@ -336,13 +501,18 @@ def _commit_slot(state: PFState, rotate_e: jnp.ndarray, slot: int) -> PFState:
     return state._replace(stats=stats, stats_wt=stats_wt, fifo=fifo)
 
 
-def flush_pending(state: PFState) -> PFState:
+def flush_pending(state: PFState, window_size: float = 100.0) -> PFState:
     """End-of-data flush: commit every pending slot with current weights
-    (count.cpp:366, lag -> 0 at end_data)."""
+    (count.cpp:366, lag -> 0 at end_data); pending local-recomb events
+    commit likewise."""
     F = state.fifo.coal_opp.shape[1]
     all_epochs = jnp.ones(state.stats.recomb_opp.shape[0], dtype=bool)
     for s in range(F - 1, -1, -1):
         state = _commit_slot(state, all_epochs, s)
+    if state.lr_pos is not None:
+        state = _commit_due_local(
+            state, jax.nn.softmax(state.log_w), jnp.float32(INF), window_size
+        )
     return state
 
 
@@ -353,7 +523,7 @@ def flush_pending(state: PFState) -> PFState:
 
 def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                       bias_heights=None, bias_strengths=None, delays=None,
-                      tblq=None):
+                      tblq=None, guide=None):
     """Build the per-segment scan body.
 
     ``epochs``, ``mutation_rate``, ``rho`` and ``lags`` may be traced values
@@ -363,6 +533,19 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
 
     Segment input (see segio): length (i32), alleles [n] (i8), state (i8),
     leaf_status (i8: -1 all-missing / 0 mixed / 1 complete).
+
+    ``guide`` = (g_rate [W], g_leaf [W, n]): per-window posterior-weighted
+    recombination rates and per-leaf relative rates (the parsed guide file,
+    pfparam.hpp:96-223).  Recombination positions are then sampled from the
+    position-dependent rate — implemented not as the reference's
+    rate-change-event walk (sampleNextBase, particle.cpp:1195+) but by a
+    change of coordinates: in "guide mass" m(x) = (1/rho)·∫ g_rate dx the
+    process is homogeneous with the usual rho·treelen hazard, so one
+    searchsorted maps each exponential draw back to a genome position.  The
+    survival importance weight exp(sampled-target) per extension segment
+    matches importance_weight_over_segment (particle.cpp:1138-1182); like
+    the reference, the point-density ratio rho/g_rate(x) at the event itself
+    is not corrected.
     """
     P = cfg.num_particles
     E, Pp = epochs.num_epochs, epochs.num_pops
@@ -370,6 +553,46 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
     span = lags / jnp.maximum(F - 1, 1)  # per-epoch FIFO slot span
     mu = jnp.float32(mutation_rate)
     rho = jnp.float32(rho)
+    record_local = cfg.num_windows > 0
+    ws = float(cfg.window_size)
+
+    if cfg.use_guide:
+        g_rate, g_leaf = guide
+        Wg = g_rate.shape[0]
+        g_rel = g_rate / jnp.maximum(rho, 1e-38)  # ~1; keeps mass in bp units
+        cum_mass = jnp.concatenate(
+            [jnp.zeros(1), jnp.cumsum(g_rel * ws)]
+        )  # [Wg+1] effective-bp mass at window boundaries
+
+        def mass(x):
+            i = jnp.clip(jnp.floor(x / ws).astype(jnp.int32), 0, Wg - 1)
+            return cum_mass[i] + (x - i * ws) * g_rel[i]
+
+        def inv_mass(m):
+            j = jnp.clip(
+                jnp.searchsorted(cum_mass, m, side="right") - 1, 0, Wg - 1
+            )
+            return j * ws + (m - cum_mass[j]) / jnp.maximum(g_rel[j], 1e-30)
+
+        def draw_gap(sub, tl, abs_pos):
+            """Next recombination distance from abs_pos under the guide."""
+            gap_m = jax.random.exponential(sub, (P,)) / jnp.maximum(
+                rho * tl, 1e-30
+            )
+            nxt = inv_mass(mass(abs_pos) + gap_m)
+            return jnp.maximum(nxt - abs_pos, 1e-3)
+
+        def span_log_iw(tl, x0, x1):
+            """log survival IW over [x0, x1): sampled minus target hazard."""
+            dm = mass(x1) - mass(x0)
+            return rho * tl * (dm - (x1 - x0))
+
+    else:
+
+        def draw_gap(sub, tl, abs_pos):
+            return jax.random.exponential(sub, (P,)) / jnp.maximum(
+                rho * tl, 1e-30
+            )
 
     def step(state: PFState, seg):
         # configs: [C, n] phase configurations for the segment-final site
@@ -392,23 +615,35 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
         tl, tl_e, B = summaries(state.trees)
 
         def cond(carry):
-            (_, _, _, _, _, _, next_rec, upd, _, _, _, _, it) = carry
+            next_rec, it = carry[7], carry[-1]
             return jnp.any(next_rec < L) & (it < cfg.max_recomb_iters)
 
         def body(carry):
-            (key, trees, log_w, log_pilot, dfs, arg, next_rec, upd, tl, tl_e,
-             B, pending, it) = carry
+            (key, trees, log_w, log_pilot, dfs, arg, lr, next_rec, upd, tl,
+             tl_e, B, pending, it) = carry
             active = next_rec < L
-            if cfg.record_arg:
+            if cfg.record_arg or record_local:
                 from .kernels.tree import descendant_bitmask
 
                 desc_pre = jax.vmap(descendant_bitmask)(
-                    trees.children, trees.time
+                    trees.children, trees.time, trees.parent
                 )  # [P, N] — recombining node's leaf set (pre-transition)
             delta = jnp.where(active, next_rec - upd, 0.0)
             # no-mutation likelihood over [upd, next_rec)
             log_w = log_w - mu * B * delta
             log_pilot = log_pilot - mu * B * delta
+            if cfg.use_guide:
+                # survival IW for guide-rate position sampling, applied
+                # immediately (particle.cpp:810-813,1138-1182)
+                liw = jnp.where(
+                    active,
+                    span_log_iw(
+                        tl, state.front + upd, state.front + next_rec
+                    ),
+                    0.0,
+                )
+                log_w = log_w + liw
+                log_pilot = log_pilot + liw
             # recombination opportunity dx * treelen_e (coalevent.hpp:221)
             pending = pending._replace(
                 recomb_opp=pending.recomb_opp + delta[:, None] * tl_e
@@ -416,12 +651,21 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             # the transition itself
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, P)
+            if cfg.use_guide:
+                win = jnp.clip(
+                    ((state.front + next_rec) / ws).astype(jnp.int32),
+                    0, Wg - 1,
+                )
+                lrates = g_leaf[win]  # [P, n] guide rates at the event window
+            else:
+                lrates = None
             trees, rec = recombination_transition(
                 keys, trees, epochs, active,
                 has_migration=cfg.has_migration,
                 max_events=cfg.max_walk_events,
                 bias_heights=bias_heights if cfg.use_bias else None,
                 bias_strengths=bias_strengths if cfg.use_bias else None,
+                leaf_rates=lrates,
             )
             pending = pending._replace(
                 coal_opp=pending.coal_opp + rec.coal_opp,
@@ -430,15 +674,16 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                 mig_cnt=pending.mig_cnt + rec.mig_cnt,
                 recomb_cnt=pending.recomb_cnt + rec.recomb_cnt,
             )
-            if cfg.use_bias:
-                # posterior gets the IW immediately; the pilot gets it with a
-                # per-epoch delay unless the point is unbiased
-                # (particle.cpp:869-891)
+            if cfg.use_bias or cfg.use_guide:
+                # posterior gets the full IW immediately; the pilot gets the
+                # height-bias part immediately when the point falls in an
+                # unbiased section, and the rest (always including the guide
+                # part) with a per-epoch delay (particle.cpp:869-891)
                 log_w = log_w + jnp.where(active, rec.log_iw, 0.0)
                 immediate = jnp.abs(rec.point_strength - 1.0) < 1e-6
-                log_pilot = log_pilot + jnp.where(
-                    active & immediate, rec.log_iw, 0.0
-                )
+                imm_log = jnp.where(immediate, rec.log_iw_bias, 0.0)
+                del_log = rec.log_iw - imm_log
+                log_pilot = log_pilot + jnp.where(active, imm_log, 0.0)
                 e_h = jnp.clip(
                     jnp.searchsorted(epochs.start, rec.recomb_height,
                                      side="right") - 1,
@@ -449,8 +694,8 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                 df_pos, df_logf, df_delta, df_k = dfs
                 df_pos, df_logf, df_delta, df_k, ovf = _push_delayed(
                     df_pos, df_logf, df_delta, df_k,
-                    active & ~immediate, abs_pos, delay, rec.log_iw,
-                    cfg.delay_k,
+                    active & (jnp.abs(del_log) > 1e-9), abs_pos, delay,
+                    del_log, cfg.delay_k,
                 )
                 log_pilot = log_pilot + ovf
                 dfs = (df_pos, df_logf, df_delta, df_k)
@@ -469,6 +714,23 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                     arg, active, abs_pos, 1, rec.coal_height,
                     rec.coal_pop, -1, dc, cfg.arg_slots,
                 )
+            if record_local:
+                # pending local-recomb event: committed with the lag of the
+                # recombination height's epoch (count.cpp:595-613)
+                dc_l = jnp.take_along_axis(
+                    desc_pre, rec.c_node[:, None], axis=1
+                )[:, 0]
+                e_hl = jnp.clip(
+                    jnp.searchsorted(
+                        epochs.start, rec.recomb_height, side="right"
+                    ) - 1,
+                    0, E - 1,
+                )
+                abs_pos_l = state.front + next_rec
+                lr = _push_local_event(
+                    lr, active, abs_pos_l, abs_pos_l + lags[e_hl],
+                    rec.recomb_height, dc_l,
+                )
             # refresh tree summaries for particles that changed
             tl2, tl_e2, B2 = summaries(trees)
             tl = jnp.where(active, tl2, tl)
@@ -476,17 +738,23 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             B = jnp.where(active, B2, B)
             # draw next recombination position
             key, sub = jax.random.split(key)
-            gap = jax.random.exponential(sub, (P,)) / jnp.maximum(rho * tl, 1e-30)
+            gap = draw_gap(sub, tl, state.front + next_rec)
             upd = jnp.where(active, next_rec, upd)
             next_rec = jnp.where(active, next_rec + gap, next_rec)
-            return (key, trees, log_w, log_pilot, dfs, arg, next_rec, upd, tl,
-                    tl_e, B, pending, it + 1)
+            return (key, trees, log_w, log_pilot, dfs, arg, lr, next_rec, upd,
+                    tl, tl_e, B, pending, it + 1)
 
         pending0 = zero_stats(E, Pp, (P,))
         arg0 = (
             (state.arg_pos, state.arg_code, state.arg_time, state.arg_from,
              state.arg_to, state.arg_desc, state.arg_n)
             if cfg.record_arg
+            else ()
+        )
+        lr0 = (
+            (state.lr_pos, state.lr_due, state.lr_time, state.lr_desc,
+             state.lr_dropped)
+            if record_local
             else ()
         )
         carry = (
@@ -496,6 +764,7 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             state.log_pilot,
             (state.df_pos, state.df_logf, state.df_delta, state.df_k),
             arg0,
+            lr0,
             state.next_rec,
             jnp.zeros((P,)),
             tl,
@@ -504,14 +773,22 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             pending0,
             jnp.int32(0),
         )
-        (key, trees, log_w, log_pilot, dfs, arg, next_rec, upd, tl, tl_e, B,
-         pending, _) = jax.lax.while_loop(cond, body, carry)
+        (key, trees, log_w, log_pilot, dfs, arg, lr, next_rec, upd, tl, tl_e,
+         B, pending, _) = jax.lax.while_loop(cond, body, carry)
         df_pos, df_logf, df_delta, df_k = dfs
 
         # final extension to the segment end
         delta = L - upd
         log_w = log_w - mu * B * delta
         log_pilot = log_pilot - mu * B * delta
+        if cfg.use_guide:
+            liw_f = jnp.where(
+                delta > 0,
+                span_log_iw(tl, state.front + upd, state.front + L),
+                0.0,
+            )
+            log_w = log_w + liw_f
+            log_pilot = log_pilot + liw_f
         pending = pending._replace(
             recomb_opp=pending.recomb_opp + delta[:, None] * tl_e
         )
@@ -582,6 +859,22 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                 arg_pos=arg[0], arg_code=arg[1], arg_time=arg[2],
                 arg_from=arg[3], arg_to=arg[4], arg_desc=arg[5], arg_n=arg[6],
             )
+        if record_local:
+            # window opportunity density: this segment's recombination
+            # opportunity (already summed over epochs in `pending`), weighted
+            # by the current normalized weights and spread over [front-L,
+            # front) (count.cpp:520-552 -> record_local_recomb_events)
+            w_now = jax.nn.softmax(log_w)
+            seg_ropp = jnp.sum(pending.recomb_opp, axis=1)  # [P]
+            total_opp = jnp.sum(w_now * seg_ropp)
+            state = state._replace(
+                win_opp_diff=_add_window_opportunity(
+                    state.win_opp_diff, front - L, front, total_opp, ws
+                ),
+                lr_pos=lr[0], lr_due=lr[1], lr_time=lr[2], lr_desc=lr[3],
+                lr_dropped=lr[4],
+            )
+            state = _commit_due_local(state, w_now, front, ws)
 
         # ---- lagged commit ------------------------------------------------
         rotate_e = (front - state.slot_open) >= span
@@ -622,7 +915,7 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             # re-draw next recombination positions for clones; valid for all
             # by memorylessness of the exponential (particle.cpp:393-436)
             tl_r = jnp.take(tl, idx, axis=0)
-            gap = jax.random.exponential(k2, (P,)) / jnp.maximum(rho * tl_r, 1e-30)
+            gap = draw_gap(k2, tl_r, jnp.full((P,), front))
             return state._replace(
                 log_w=new_log_w,
                 log_pilot=jnp.full((P,), -jnp.log(float(P))),
@@ -650,9 +943,10 @@ def run_block(state: PFState, step_fn, seg_block) -> tuple[PFState, jnp.ndarray]
 @partial(jax.jit, static_argnums=(0,))
 def _sweep_jit(cfg: PFConfig, state: PFState, seg_block, epochs: Epochs,
                mutation_rate, rho, lags, bias_heights, bias_strengths, delays,
-               tblq):
+               tblq, guide):
     step = make_segment_step(cfg, epochs, mutation_rate, rho, lags,
-                             bias_heights, bias_strengths, delays, tblq)
+                             bias_heights, bias_strengths, delays, tblq,
+                             guide)
     return jax.lax.scan(step, state, seg_block)
 
 
@@ -662,17 +956,23 @@ def build_sweep(cfg: PFConfig):
     hit the jit cache."""
 
     def sweep(state, seg_block, epochs, mutation_rate, rho, lags,
-              bias_heights=None, bias_strengths=None, delays=None, tblq=None):
+              bias_heights=None, bias_strengths=None, delays=None, tblq=None,
+              guide=None):
         if cfg.use_bias:
             bias_heights = jnp.asarray(bias_heights, jnp.float32)
             bias_strengths = jnp.asarray(bias_strengths, jnp.float32)
+        if cfg.use_bias or cfg.use_guide:
             delays = jnp.asarray(delays, jnp.float32)
         if cfg.apf > 0:
             tblq = tuple(jnp.asarray(t, jnp.float32) for t in tblq)
+        if cfg.use_guide:
+            guide = tuple(jnp.asarray(g, jnp.float32) for g in guide)
+        else:
+            guide = None
         return _sweep_jit(cfg, state, seg_block, epochs,
                           jnp.float32(mutation_rate), jnp.float32(rho),
                           jnp.asarray(lags, jnp.float32),
-                          bias_heights, bias_strengths, delays, tblq)
+                          bias_heights, bias_strengths, delays, tblq, guide)
 
     return sweep
 
