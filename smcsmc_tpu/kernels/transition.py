@@ -236,12 +236,14 @@ def _walk_fast(key, time, parent, pop, c, h_r, epochs: Epochs):
     return t_c, d, fpop_c, coal_opp, coal_cnt, mig_opp, mig_cnt, new_ev_t, new_ev_d
 
 
-def _walk_mig(
-    key, time, parent, pop, mig_time, mig_dest, c, h_r, epochs: Epochs, max_events: int
+def _walk_mig_batched(
+    key, time, parent, pop, mig_time, mig_dest, c, h_r,
+    epochs: Epochs, max_events: int, active,
 ):
-    """Re-coalescence with continuous migration: bounded event walk.
+    """Re-coalescence with continuous migration: bounded event walk over the
+    whole particle population in lock-step ([P, ...] arrays everywhere).
 
-    Below the root, the floating lineage walks against the tree's branches
+    Below the root, each floating lineage walks against its tree's branches
     (whose populations follow their stored migration events).  Above the root
     the process is the two-lineage pairwise structured coalescent: BOTH the
     floating lineage and the root's ancestral lineage migrate, and they
@@ -250,169 +252,184 @@ def _walk_mig(
     record_all_event's pairwise weight, particle.cpp:257-259).  The ancestral
     path above the root is re-simulated fresh at each transition
     (memoryless), so no migration events are stored above the root.
-    """
-    N = parent.shape[0]
+
+    One global ``lax.while_loop`` with explicit per-particle done-masking —
+    NOT a vmapped scalar loop, whose lane-masking miscompiles on some TPU
+    runtimes for batches >= 1024 (see make_initial_trees)."""
+    P, N = parent.shape
     E, Pp = epochs.num_epochs, epochs.num_pops
-    Mw = mig_time.shape[1]
-    pt = parent_time(time, parent)
-    root = jnp.argmax(parent < 0).astype(jnp.int32)
-    root_h = time[root]
+    Mw = mig_time.shape[2]
+    rowid = jnp.arange(P)
+    pt = jax.vmap(parent_time)(time, parent)  # [P, N]
+    root = jnp.argmax(parent < 0, axis=1).astype(jnp.int32)  # [P]
+    root_h = time[rowid, root]
     # static breakpoints: node times, epoch starts, all branch migration times
-    bks = jnp.concatenate([time, epochs.start, mig_time.reshape(-1)])
+    bks = jnp.concatenate(
+        [time, jnp.broadcast_to(epochs.start, (P, E)),
+         mig_time.reshape(P, -1)],
+        axis=1,
+    )  # [P, N+E+N*Mw]
 
     # the floating lineage starts in branch c's population AT the cut height
     # (after c's own migration events below h_r)
-    k0 = jnp.sum(mig_time[c] <= h_r)
-    p_raw0 = jnp.where(k0 > 0, mig_dest[c, jnp.maximum(k0 - 1, 0)], pop[c])
+    mt_c = mig_time[rowid, c]  # [P, Mw]
+    md_c = mig_dest[rowid, c]
+    k0 = jnp.sum(mt_c <= h_r[:, None], axis=1)
+    p_raw0 = jnp.where(
+        k0 > 0, md_c[rowid, jnp.maximum(k0 - 1, 0)], pop[rowid, c]
+    )
 
     init = dict(
         key=key,
         t=h_r,
         p_raw=p_raw0,
-        r_raw=pop[root],  # root ancestral lineage population (pairwise phase)
-        done=jnp.bool_(False),
-        t_c=jnp.float32(0.0),
-        d=jnp.int32(-1),
-        fpop_c=jnp.int32(0),
-        coal_opp=jnp.zeros((E, Pp)),
-        coal_cnt=jnp.zeros((E, Pp)),
-        mig_opp=jnp.zeros((E, Pp)),
-        mig_cnt=jnp.zeros((E, Pp, Pp)),
-        ev_t=jnp.full((2 * Mw,), INF),
-        ev_d=jnp.zeros((2 * Mw,), jnp.int32),
-        n_ev=jnp.int32(0),
-        rev_t=jnp.full((2 * Mw,), INF),  # root-lineage events (pairwise phase)
-        rev_d=jnp.zeros((2 * Mw,), jnp.int32),
-        n_rev=jnp.int32(0),
+        r_raw=pop[rowid, root],  # root ancestral lineage pop (pairwise phase)
+        done=~active,
+        t_c=jnp.zeros((P,)),
+        d=jnp.full((P,), -1, jnp.int32),
+        fpop_c=jnp.zeros((P,), jnp.int32),
+        coal_opp=jnp.zeros((P, E, Pp)),
+        coal_cnt=jnp.zeros((P, E, Pp)),
+        mig_opp=jnp.zeros((P, E, Pp)),
+        mig_cnt=jnp.zeros((P, E, Pp, Pp)),
+        ev_t=jnp.full((P, 2 * Mw), INF),
+        ev_d=jnp.zeros((P, 2 * Mw), jnp.int32),
+        n_ev=jnp.zeros((P,), jnp.int32),
+        rev_t=jnp.full((P, 2 * Mw), INF),  # root-lineage events
+        rev_d=jnp.zeros((P, 2 * Mw), jnp.int32),
+        n_rev=jnp.zeros((P,), jnp.int32),
         it=jnp.int32(0),
     )
 
     def cond(s):
-        return (~s["done"]) & (s["it"] < max_events)
+        return jnp.any(~s["done"]) & (s["it"] < max_events)
 
     def body(s):
         key, k1, k2, k3, k4 = jax.random.split(s["key"], 5)
+        go = ~s["done"]
         t = s["t"]
-        e = _epoch_index(epochs.start, t)
-        pm = epochs.pop_map[e]
-        p_cur = pm[s["p_raw"]]
-        r_cur = pm[s["r_raw"]]
+        e = _epoch_index(epochs.start, t)  # [P]
+        pm = epochs.pop_map[e]  # [P, Pp]
+        p_cur = jnp.take_along_axis(pm, s["p_raw"][:, None], axis=1)[:, 0]
+        r_cur = jnp.take_along_axis(pm, s["r_raw"][:, None], axis=1)[:, 0]
         above_root = t >= root_h
-        bp = branch_pop_at(pop, mig_time, mig_dest, pm, t)  # [N]
+        # branch populations at time t (batched branch_pop_at)
+        k_ev = jnp.sum(mig_time <= t[:, None, None], axis=2)  # [P, N]
+        last = jnp.where(
+            k_ev > 0,
+            jnp.take_along_axis(
+                mig_dest, jnp.maximum(k_ev - 1, 0)[:, :, None], axis=2
+            )[:, :, 0],
+            pop,
+        )
+        bp = jnp.take_along_axis(pm, last, axis=1)  # [P, N]
         # the root's ancestral lineage population is dynamic state
-        bp = bp.at[root].set(r_cur)
-        crossing = (time <= t) & (t < pt)
-        k_same = jnp.sum(crossing & (bp == p_cur)).astype(jnp.float32)
-        coal_rate = k_same / (2.0 * epochs.ne[e, p_cur])
-        mig_rate = jnp.sum(epochs.mig[e, p_cur])
-        root_mig_rate = jnp.where(above_root, jnp.sum(epochs.mig[e, r_cur]), 0.0)
+        bp = bp.at[rowid, root].set(r_cur)
+        crossing = (time <= t[:, None]) & (t[:, None] < pt)  # [P, N]
+        cand = crossing & (bp == p_cur[:, None])
+        k_same = jnp.sum(cand, axis=1).astype(jnp.float32)  # [P]
+        ne_cur = epochs.ne[e][rowid, p_cur]
+        coal_rate = k_same / (2.0 * ne_cur)
+        mig_rate = jnp.sum(epochs.mig[e][rowid, p_cur], axis=1)
+        root_mig_rate = jnp.where(
+            above_root, jnp.sum(epochs.mig[e][rowid, r_cur], axis=1), 0.0
+        )
         total = coal_rate + mig_rate + root_mig_rate
-        t_bk = jnp.min(jnp.where(bks > t, bks, INF))
-        u = jax.random.uniform(k1, (), minval=1e-7, maxval=1.0 - 1e-7)
-        dt = jnp.where(total > 0, -jnp.log1p(-u) / jnp.maximum(total, 1e-30), INF)
-        t_next = jnp.minimum(t + dt, t_bk)
+        t_bk = jnp.min(jnp.where(bks > t[:, None], bks, INF), axis=1)
+        u = jax.random.uniform(k1, (P,), minval=1e-7, maxval=1.0 - 1e-7)
+        dt = jnp.where(
+            total > 0, -jnp.log1p(-u) / jnp.maximum(total, 1e-30), INF
+        )
         hit_bk = t + dt >= t_bk
+        t_next = jnp.minimum(t + dt, t_bk)
         # opportunity over [t, t_next): floating lineage always; root lineage
         # in the pairwise phase (both active nodes record, particle.cpp:251+)
         span = jnp.clip(t_next - t, 0.0, None)
-        span = jnp.where(jnp.isfinite(span), span, 0.0)
-        coal_opp = s["coal_opp"].at[e, p_cur].add(k_same * span)
-        mig_opp = s["mig_opp"].at[e, p_cur].add(span)
-        mig_opp = mig_opp.at[e, r_cur].add(jnp.where(above_root, span, 0.0))
+        span = jnp.where(jnp.isfinite(span) & go, span, 0.0)
+        coal_opp = s["coal_opp"].at[rowid, e, p_cur].add(k_same * span)
+        mig_opp = s["mig_opp"].at[rowid, e, p_cur].add(span)
+        mig_opp = mig_opp.at[rowid, e, r_cur].add(
+            jnp.where(above_root, span, 0.0)
+        )
 
-        def at_bk(s):
-            return {**s, "t": t_bk, "key": key, "it": s["it"] + 1,
-                    "coal_opp": coal_opp, "mig_opp": mig_opp}
+        # --- event choice --------------------------------------------------
+        x = jax.random.uniform(k2, (P,)) * total
+        is_coal = go & ~hit_bk & (x < coal_rate)
+        is_float_mig = go & ~hit_bk & ~is_coal & (x < coal_rate + mig_rate)
+        is_root_mig = go & ~hit_bk & ~is_coal & ~is_float_mig
 
-        def at_event(s):
-            x = jax.random.uniform(k2) * total
-            is_coal = x < coal_rate
-            is_float_mig = (~is_coal) & (x < coal_rate + mig_rate)
+        # coalescence lane: pick a uniform candidate branch
+        kc = jnp.sum(cand, axis=1)
+        r = jnp.floor(
+            jax.random.uniform(k3, (P,)) * jnp.maximum(kc, 1)
+        ).astype(jnp.int32)
+        csum = jnp.cumsum(cand.astype(jnp.int32), axis=1) - 1
+        d_new = jnp.argmax((csum == r[:, None]) & cand, axis=1).astype(
+            jnp.int32
+        )
+        coal_cnt = s["coal_cnt"].at[rowid, e, p_cur].add(
+            is_coal.astype(jnp.float32)
+        )
 
-            def coal(s):
-                cand = crossing & (bp == p_cur)
-                kc = jnp.sum(cand)
-                r = jax.random.randint(k3, (), 0, jnp.maximum(kc, 1))
-                csum = jnp.cumsum(cand.astype(jnp.int32)) - 1
-                d = jnp.argmax((csum == r) & cand).astype(jnp.int32)
-                coal_cnt = s["coal_cnt"].at[e, p_cur].add(1.0)
-                return {
-                    **s,
-                    "done": jnp.bool_(True),
-                    "t_c": t_next,
-                    "d": d,
-                    "fpop_c": p_cur,
-                    "coal_cnt": coal_cnt,
-                    "coal_opp": coal_opp,
-                    "mig_opp": mig_opp,
-                    "t": t_next,
-                    "key": key,
-                    "it": s["it"] + 1,
-                }
+        # migration lanes: sample destination for whichever lineage moves
+        mover = jnp.where(is_root_mig, r_cur, p_cur)
+        w = epochs.mig[e][rowid, mover]  # [P, Pp]
+        dest = jax.random.categorical(
+            k4, jnp.log(jnp.maximum(w, 1e-30)), axis=-1
+        ).astype(jnp.int32)
+        any_mig = is_float_mig | is_root_mig
+        mig_cnt = s["mig_cnt"].at[rowid, e, mover, dest].add(
+            any_mig.astype(jnp.float32)
+        )
 
-            def float_mig(s):
-                w = epochs.mig[e, p_cur]
-                dest = jax.random.categorical(
-                    k4, jnp.log(jnp.maximum(w, 1e-30))
-                ).astype(jnp.int32)
-                slot = jnp.minimum(s["n_ev"], 2 * Mw - 1)
-                ev_t = s["ev_t"].at[slot].set(t_next)
-                ev_d = s["ev_d"].at[slot].set(dest)
-                mig_cnt = s["mig_cnt"].at[e, p_cur, dest].add(1.0)
-                return {
-                    **s,
-                    "p_raw": dest,
-                    "ev_t": ev_t,
-                    "ev_d": ev_d,
-                    "n_ev": s["n_ev"] + 1,
-                    "mig_cnt": mig_cnt,
-                    "coal_opp": coal_opp,
-                    "mig_opp": mig_opp,
-                    "t": t_next,
-                    "key": key,
-                    "it": s["it"] + 1,
-                }
-
-            def root_mig(s):
-                w = epochs.mig[e, r_cur]
-                dest = jax.random.categorical(
-                    k4, jnp.log(jnp.maximum(w, 1e-30))
-                ).astype(jnp.int32)
-                mig_cnt = s["mig_cnt"].at[e, r_cur, dest].add(1.0)
-                slot = jnp.minimum(s["n_rev"], 2 * Mw - 1)
-                rev_t = s["rev_t"].at[slot].set(t_next)
-                rev_d = s["rev_d"].at[slot].set(dest)
-                return {
-                    **s,
-                    "r_raw": dest,
-                    "rev_t": rev_t,
-                    "rev_d": rev_d,
-                    "n_rev": s["n_rev"] + 1,
-                    "mig_cnt": mig_cnt,
-                    "coal_opp": coal_opp,
-                    "mig_opp": mig_opp,
-                    "t": t_next,
-                    "key": key,
-                    "it": s["it"] + 1,
-                }
-
-            return jax.lax.cond(
-                is_coal,
-                coal,
-                lambda s: jax.lax.cond(is_float_mig, float_mig, root_mig, s),
-                s,
+        def push(ev_t, ev_d, n_ev, mask):
+            slot = jnp.minimum(n_ev, 2 * Mw - 1)
+            ev_t = ev_t.at[rowid, slot].set(
+                jnp.where(mask, t_next, ev_t[rowid, slot])
             )
+            ev_d = ev_d.at[rowid, slot].set(
+                jnp.where(mask, dest, ev_d[rowid, slot])
+            )
+            return ev_t, ev_d, n_ev + mask.astype(jnp.int32)
 
-        return jax.lax.cond(hit_bk, at_bk, at_event, s)
+        ev_t, ev_d, n_ev = push(s["ev_t"], s["ev_d"], s["n_ev"], is_float_mig)
+        rev_t, rev_d, n_rev = push(
+            s["rev_t"], s["rev_d"], s["n_rev"], is_root_mig
+        )
+
+        return dict(
+            key=key,
+            t=jnp.where(go, t_next, t),
+            p_raw=jnp.where(is_float_mig, dest, s["p_raw"]),
+            r_raw=jnp.where(is_root_mig, dest, s["r_raw"]),
+            done=s["done"] | is_coal,
+            t_c=jnp.where(is_coal, t_next, s["t_c"]),
+            d=jnp.where(is_coal, d_new, s["d"]),
+            fpop_c=jnp.where(is_coal, p_cur, s["fpop_c"]),
+            coal_opp=coal_opp,
+            coal_cnt=coal_cnt,
+            mig_opp=mig_opp,
+            mig_cnt=mig_cnt,
+            ev_t=ev_t,
+            ev_d=ev_d,
+            n_ev=n_ev,
+            rev_t=rev_t,
+            rev_d=rev_d,
+            n_rev=n_rev,
+            it=s["it"] + 1,
+        )
 
     s = jax.lax.while_loop(cond, body, init)
     # if the walk hit the iteration cap without coalescing, coalesce onto the
     # root lineage at the current time (guarded fallback; should not happen
     # for sane models)
-    d = jnp.where(s["done"], s["d"], root)
-    t_c = jnp.where(s["done"], s["t_c"], jnp.maximum(s["t"], jnp.max(time)))
+    ok = s["done"] | ~active
+    d = jnp.where(ok, s["d"], root)
+    t_c = jnp.where(
+        ok, s["t_c"], jnp.maximum(s["t"], jnp.max(time, axis=1))
+    )
     # the new root's population when coalescing with the ancestral lineage
-    fpop_c = jnp.where(s["done"], s["fpop_c"], s["r_raw"])
+    fpop_c = jnp.where(ok, s["fpop_c"], s["r_raw"])
     return (
         t_c,
         d,
@@ -581,82 +598,6 @@ def _apply_spr(
 # ---------------------------------------------------------------------------
 
 
-def _transition_one(
-    key: jnp.ndarray,
-    parent: jnp.ndarray,
-    time: jnp.ndarray,
-    pop: jnp.ndarray,
-    mig_time,
-    mig_dest,
-    children: jnp.ndarray,
-    epochs: Epochs,
-    has_migration: bool,
-    max_events: int,
-    bias_heights=None,
-    bias_strengths=None,
-    leaf_rates=None,
-):
-    E = epochs.num_epochs
-    k_rec, k_walk = jax.random.split(key)
-    if bias_strengths is not None or leaf_rates is not None:
-        if bias_strengths is None:
-            # guide without height bias: one all-heights section of strength 1
-            bias_heights = jnp.asarray([0.0, INF], jnp.float32)
-            bias_strengths = jnp.asarray([1.0], jnp.float32)
-        br = (
-            guide_branch_rates(time, parent, children, leaf_rates)
-            if leaf_rates is not None
-            else None
-        )
-        c, h_r, log_iw, strength, log_iw_bias = _sample_recomb_point_biased(
-            k_rec, time, parent, bias_heights, bias_strengths, br
-        )
-    else:
-        c, h_r = _sample_recomb_point(k_rec, time, parent)
-        log_iw = jnp.float32(0.0)
-        log_iw_bias = jnp.float32(0.0)
-        strength = jnp.float32(1.0)
-
-    if has_migration:
-        (t_c, d, fpop_c, coal_opp, coal_cnt, mig_opp, mig_cnt, ev_t, ev_d,
-         rev_t, rev_d) = _walk_mig(
-            k_walk, time, parent, pop, mig_time, mig_dest, c, h_r, epochs,
-            max_events,
-        )
-    else:
-        (t_c, d, fpop_c, coal_opp, coal_cnt, mig_opp, mig_cnt, ev_t, ev_d) = (
-            _walk_fast(k_walk, time, parent, pop, c, h_r, epochs)
-        )
-        rev_t = rev_d = None
-        if mig_time is not None:
-            Mw = mig_time.shape[1]
-            ev_t = jnp.full((Mw,), INF)
-            ev_d = jnp.zeros((Mw,), jnp.int32)
-
-    parent_f, time_f, pop_f, children_f, mig_time_f, mig_dest_f = _apply_spr(
-        parent, time, pop, children, mig_time, mig_dest, c, d, t_c, fpop_c,
-        ev_t, ev_d, h_r, rev_t, rev_d,
-    )
-
-    e_r = _epoch_index(epochs.start, h_r)
-    recomb_cnt = jnp.zeros((E,)).at[e_r].add(1.0)
-    rec = TransitionRecord(
-        coal_opp=coal_opp,
-        coal_cnt=coal_cnt,
-        mig_opp=mig_opp,
-        mig_cnt=mig_cnt,
-        recomb_cnt=recomb_cnt,
-        recomb_height=h_r,
-        coal_height=t_c,
-        log_iw=log_iw,
-        log_iw_bias=log_iw_bias,
-        point_strength=strength,
-        c_node=c,
-        coal_pop=fpop_c,
-    )
-    return (parent_f, time_f, pop_f, children_f, mig_time_f, mig_dest_f), rec
-
-
 def recombination_transition(
     keys: jnp.ndarray,
     trees: Trees,
@@ -674,45 +615,127 @@ def recombination_transition(
     inside the current update window; inactive particles pass through
     untouched and record zeros.  ``leaf_rates`` [P, n] (optional) are
     per-particle relative guide rates at each leaf (pfparam.hpp:96-223).
+
+    Staging: point sampling and the SPR are embarrassingly parallel and run
+    under vmap; the migration event walk (the only data-dependent loop) runs
+    as ONE population-batched while_loop (_walk_mig_batched).
     """
     has_mig_arrays = trees.mig_time is not None
+    E = epochs.num_epochs
+    parent, time, pop, children = (
+        trees.parent, trees.time, trees.pop, trees.children,
+    )
 
-    def one(key, parent, time, pop, children, mig_time, mig_dest, act, lrates):
-        (pf, tf, popf, cf, mtf, mdf), rec = _transition_one(
-            key, parent, time, pop, mig_time, mig_dest, children, epochs,
-            has_migration, max_events, bias_heights, bias_strengths, lrates,
-        )
-        pf = jnp.where(act, pf, parent)
-        tf = jnp.where(act, tf, time)
-        popf = jnp.where(act, popf, pop)
-        cf = jnp.where(act, cf, children)
-        if mtf is not None:
-            mtf = jnp.where(act, mtf, mig_time)
-            mdf = jnp.where(act, mdf, mig_dest)
-        rec = jax.tree_util.tree_map(
-            lambda x: jnp.where(act, x, jnp.zeros_like(x)), rec
-        )
-        return (pf, tf, popf, cf, mtf, mdf), rec
+    split = jax.vmap(lambda k: jax.random.split(k))(keys)  # [P, 2, 2]
+    k_rec, k_walk = split[:, 0], split[:, 1]
 
-    lr_ax = None if leaf_rates is None else 0
-    if has_mig_arrays:
-        (pf, tf, popf, cf, mtf, mdf), rec = jax.vmap(
-            one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, lr_ax)
-        )(
-            keys, trees.parent, trees.time, trees.pop, trees.children,
-            trees.mig_time, trees.mig_dest, active, leaf_rates,
+    # --- 1. sample the recombination point ------------------------------
+    if bias_strengths is not None or leaf_rates is not None:
+        if bias_strengths is None:
+            # guide without height bias: one all-heights section, strength 1
+            bias_heights = jnp.asarray([0.0, INF], jnp.float32)
+            bias_strengths = jnp.asarray([1.0], jnp.float32)
+
+        def point_one(k, t, p, ch, lrates):
+            br = (
+                guide_branch_rates(t, p, ch, lrates)
+                if lrates is not None
+                else None
+            )
+            return _sample_recomb_point_biased(
+                k, t, p, bias_heights, bias_strengths, br
+            )
+
+        lr_ax = None if leaf_rates is None else 0
+        c, h_r, log_iw, strength, log_iw_bias = jax.vmap(
+            point_one, in_axes=(0, 0, 0, 0, lr_ax)
+        )(k_rec, time, parent, children, leaf_rates)
+    else:
+        c, h_r = jax.vmap(_sample_recomb_point)(k_rec, time, parent)
+        P = c.shape[0]
+        log_iw = jnp.zeros((P,))
+        log_iw_bias = jnp.zeros((P,))
+        strength = jnp.ones((P,))
+
+    # --- 2. re-coalescence walk -----------------------------------------
+    if has_migration:
+        (t_c, d, fpop_c, coal_opp, coal_cnt, mig_opp, mig_cnt, ev_t, ev_d,
+         rev_t, rev_d) = _walk_mig_batched(
+            k_walk[0], time, parent, pop, trees.mig_time, trees.mig_dest,
+            c, h_r, epochs, max_events, active,
         )
     else:
-        (pf, tf, popf, cf, mtf, mdf), rec = jax.vmap(
-            lambda k, p, t, po, ch, a, lrr: one(
-                k, p, t, po, ch, None, None, a, lrr
-            ),
-            in_axes=(0, 0, 0, 0, 0, 0, lr_ax),
-        )(keys, trees.parent, trees.time, trees.pop, trees.children, active,
-          leaf_rates)
+        (t_c, d, fpop_c, coal_opp, coal_cnt, mig_opp, mig_cnt, _, _) = (
+            jax.vmap(
+                lambda k, t, p, po, cc, hh: _walk_fast(
+                    k, t, p, po, cc, hh, epochs
+                )
+            )(k_walk, time, parent, pop, c, h_r)
+        )
+        rev_t = rev_d = None
+        ev_t = ev_d = None
+        if has_mig_arrays:
+            P, _, Mw = trees.mig_time.shape
+            ev_t = jnp.full((P, Mw), INF)
+            ev_d = jnp.zeros((P, Mw), jnp.int32)
+
+    # --- 3. the SPR topology update --------------------------------------
+    if has_mig_arrays:
+        spr_in = (parent, time, pop, children, trees.mig_time,
+                  trees.mig_dest, c, d, t_c, fpop_c, ev_t, ev_d, h_r)
+        if rev_t is not None:
+            pf, tf, popf, cf, mtf, mdf = jax.vmap(_apply_spr)(
+                *spr_in, rev_t, rev_d
+            )
+        else:
+            pf, tf, popf, cf, mtf, mdf = jax.vmap(
+                lambda *a: _apply_spr(*a, None, None)
+            )(*spr_in)
+    else:
+        pf, tf, popf, cf, mtf, mdf = jax.vmap(
+            lambda p, t, po, ch, cc, dd, tc, fp, hh: _apply_spr(
+                p, t, po, ch, None, None, cc, dd, tc, fp, None, None, hh
+            )
+        )(parent, time, pop, children, c, d, t_c, fpop_c, h_r)
+
+    # --- 4. masking + the statistic record --------------------------------
+    act = active
+    pf = jnp.where(act[:, None], pf, parent)
+    tf = jnp.where(act[:, None], tf, time)
+    popf = jnp.where(act[:, None], popf, pop)
+    cf = jnp.where(act[:, None, None], cf, children)
+    if mtf is not None:
+        mtf = jnp.where(act[:, None, None], mtf, trees.mig_time)
+        mdf = jnp.where(act[:, None, None], mdf, trees.mig_dest)
+
+    e_r = _epoch_index(epochs.start, h_r)  # [P]
+    recomb_cnt = jnp.zeros((h_r.shape[0], E)).at[
+        jnp.arange(h_r.shape[0]), e_r
+    ].add(1.0)
+    rec = TransitionRecord(
+        coal_opp=coal_opp,
+        coal_cnt=coal_cnt,
+        mig_opp=mig_opp,
+        mig_cnt=mig_cnt,
+        recomb_cnt=recomb_cnt,
+        recomb_height=h_r,
+        coal_height=t_c,
+        log_iw=log_iw,
+        log_iw_bias=log_iw_bias,
+        point_strength=strength,
+        c_node=c,
+        coal_pop=fpop_c,
+    )
+    rec = jax.tree_util.tree_map(
+        lambda x: jnp.where(
+            act.reshape((-1,) + (1,) * (x.ndim - 1)), x, jnp.zeros_like(x)
+        ),
+        rec,
+    )
     return (
         Trees(
-            parent=pf, time=tf, pop=popf, children=cf, mig_time=mtf, mig_dest=mdf
+            parent=pf, time=tf, pop=popf, children=cf,
+            mig_time=mtf, mig_dest=mdf,
         ),
         rec,
     )
