@@ -33,6 +33,7 @@ def calibrate_survival(
     num_windows: int = 20,
     has_migration: bool = False,
     num_bins: int = 64,
+    max_mig: int = 16,
 ) -> np.ndarray:
     """[E] median survival distance (bp) of nodes whose height falls in each
     epoch.  Epochs with no observed deaths fall back to the global median."""
@@ -46,7 +47,7 @@ def calibrate_survival(
 
     trees = make_initial_trees(
         key, epochs, P, jnp.asarray(sample_pop),
-        max_mig=16 if has_migration else 0,
+        max_mig=max_mig if has_migration else 0,
     )
     N = trees.parent.shape[1]
     k1, k2, key = jax.random.split(key, 3)

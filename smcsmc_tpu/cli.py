@@ -139,6 +139,11 @@ def parse_smc2_args(argv: list[str]):
             i += 1
         elif o == "-chunks":
             cfg.chunks = int(take())
+        elif o == "-nproc":
+            # concurrent chunk workers, one device each (the reference's
+            # process-level chunk parallelism, execute.py:26-105; 0 = one
+            # worker per local device)
+            cfg.chunk_workers = int(take())
         elif o == "-maxgap":
             io["maxgap"] = int(float(take()))
         elif o == "-minseg":
@@ -183,6 +188,11 @@ def parse_smc2_args(argv: list[str]):
         elif o == "-guide":
             # explicit recombination guide file (model.py:1060-1061)
             cfg.guide_file = take()
+        elif o == "-migbuf":
+            # per-branch migration-event buffer capacity (0 = auto-sized
+            # from the demography; the reference's scrm node chains are
+            # unbounded, so this is a TPU-specific knob)
+            cfg.mig_buffer = int(take())
         elif o == "-smcsmcpath":
             take()  # compatibility no-op: there is no external binary
         elif o in ("-v", "--version"):

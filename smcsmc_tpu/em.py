@@ -11,6 +11,7 @@ processes, model.py:903-910).
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass, field
 
@@ -21,7 +22,7 @@ import numpy as np
 from . import outfmt
 from .demography import Demography
 from .kernels.tree import epochs_from_demography
-from .segio import SegData, slice_seg, split_long_segments
+from .segio import SEGMENT_INVARIANT, SegData, slice_seg, split_long_segments
 from .smc import (
     PFConfig,
     SuffStats,
@@ -78,6 +79,24 @@ class EMConfig:
     beta: float = 4.0  # WBS smoothness (model.py:68)
     guide_file: str | None = None  # explicit guide for iteration 0 (-guide)
     guide_interval: float = 100.0  # local_recording_interval_ (count.hpp:115)
+    mig_buffer: int = 0  # per-branch migration-event capacity (0 = auto)
+    # concurrent chunk sweeps, one thread per chunk pinned to its own device
+    # (reference runs chunks as concurrent subprocesses/SGE jobs,
+    # model.py:1094-1100, execute.py:26-105).  0 = one worker per device.
+    chunk_workers: int = 1
+
+
+def _auto_mig_buffer(demo: Demography) -> int:
+    """Size the per-branch migration-event buffers so they rarely saturate
+    (saturation triggers hold-based event dropping — an approximation that
+    is counted in the chunk diagnostics).  Expected events per branch ~
+    (total out-migration rate) x (tree-height scale); generous multiple for
+    the tail and for the pairwise above-root excursions."""
+    m_out = float(np.max(np.sum(demo.mig_rates, axis=2)))
+    ne_max = float(np.max(demo.pop_sizes))
+    t_scale = float(np.max(demo.change_times)) + 4.0 * ne_max
+    expect = m_out * t_scale
+    return int(np.clip(8 * np.ceil((6.0 * expect + 8.0) / 8.0), 16, 96))
 
 
 def prior_pseudostats(demo: Demography):
@@ -168,6 +187,17 @@ def prepare_blocks(
         lengths = lengths.copy()
         lengths[0] = max(int(lengths[0]) - first_off, 0)
     configs, n_configs = _phase_configs(alleles, max_configs, dephase)
+    # distance from each segment's start to the next informative site
+    # (reference distance_to_mutation, segdata.cpp:234-241): bounds which
+    # epochs record events during long missing stretches (smcsmc.cpp:266-275)
+    is_site = (states == SEGMENT_INVARIANT) & (leaf_status != -1)
+    site_end = np.where(
+        is_site, (seg.positions + seg.lengths).astype(np.float64), np.inf
+    )
+    next_site = np.minimum.accumulate(site_end[::-1])[::-1]
+    dist_mut = np.minimum(
+        next_site - seg.positions.astype(np.float64), 1e30
+    ).astype(np.float32)
     n_blocks = (S + block_size - 1) // block_size
     pad = n_blocks * block_size - S
     if pad:
@@ -179,6 +209,7 @@ def prepare_blocks(
             [configs, np.full((pad, max_configs, n), -1, np.int8)]
         )
         n_configs = np.concatenate([n_configs, np.ones(pad, np.int32)])
+        dist_mut = np.concatenate([dist_mut, np.full(pad, 1e30, np.float32)])
     la_cols = ()
     if lookahead is not None:
         from .lookahead import _pad_block
@@ -197,7 +228,40 @@ def prepare_blocks(
             jnp.asarray(n_configs[sl]),
             jnp.asarray(states[sl]),
             jnp.asarray(leaf_status[sl]),
+            jnp.asarray(dist_mut[sl]),
         ) + tuple(jnp.asarray(c[sl]) for c in la_cols)
+
+
+def _digamma64(x: np.ndarray) -> np.ndarray:
+    """Float64 digamma via the recurrence + asymptotic series the reference
+    uses (particle.cpp:65-74 exp_digamma)."""
+    x = np.asarray(x, np.float64).copy()
+    f = np.zeros_like(x)
+    for _ in range(8):  # shift x above 6 (counts are >= ~1e-6 after flooring)
+        small = x < 6.0
+        if not np.any(small):
+            break
+        f = np.where(small, f + 1.0 / np.maximum(x, 1e-12), f)
+        x = np.where(small, x + 1.0, x)
+    return np.log(x) - 1.0 / (2.0 * x) - 1.0 / (12.0 * x * x) - f
+
+
+def vb_log_tables(demo: Demography, counts=None, pseudocount: float = 1.0):
+    """Per-rate VB log-correction tables psi(C) - log(C) for the in-proposal
+    correction (particle.cpp:266-272).  ``counts`` = (coal [E,Pp],
+    mig [E,Pp,Pp]) event counts from the previous EM iteration; defaults to
+    1e10 (factor ~= 1, populationmodels.py:260-267) before the first M-step."""
+    E, Pp = demo.num_epochs, demo.num_populations
+    if counts is None:
+        coal_c = np.full((E, Pp), 1e10)
+        mig_c = np.full((E, Pp, Pp), 1e10)
+    else:
+        coal_c = np.maximum(np.asarray(counts[0], np.float64) + pseudocount,
+                            1e-3)
+        mig_c = np.maximum(np.asarray(counts[1], np.float64) + pseudocount,
+                           1e-3)
+    tbl = lambda c: (_digamma64(c) - np.log(c)).astype(np.float32)
+    return tbl(coal_c), tbl(mig_c)
 
 
 def run_chunk(
@@ -207,6 +271,7 @@ def run_chunk(
     chunk=(None, None),
     seed: int = 1,
     guide_file: str | None = None,
+    vb_counts=None,
 ):
     """One particle-filter sweep over (a chunk of) the genome; returns host
     SuffStats, the w^2 stats, the log-likelihood, and diagnostics.
@@ -237,6 +302,7 @@ def run_chunk(
         fifo_slots=cfg.fifo_slots,
         ancestral_aware=cfg.ancestral_aware,
         has_migration=bool(np.any(demo.mig_rates > 0)),
+        max_mig=cfg.mig_buffer or _auto_mig_buffer(demo),
         use_bias=bool(cfg.bias_strengths)
         and any(s != 1.0 for s in cfg.bias_strengths),
         apf=cfg.apf,
@@ -244,6 +310,10 @@ def run_chunk(
         num_windows=num_windows,
         window_size=cfg.guide_interval,
         use_guide=guide_file is not None,
+        use_vb=cfg.vb,
+    )
+    vb_tables = (
+        vb_log_tables(demo, vb_counts, cfg.vb_pseudocount) if cfg.vb else None
     )
     rho = demo.recombination_rate
     delays_cal = None
@@ -321,7 +391,7 @@ def run_chunk(
     ):
         state, ess = sweep(state, block, epochs, cur_demo.mutation_rate, rho,
                            lags, bias_heights, bias_strengths, delays,
-                           tblq=tblq, guide=guide)
+                           tblq=tblq, guide=guide, vb_tables=vb_tables)
         ess_traces.append(np.asarray(ess))
         if cfg.online and float(state.front) > next_update:
             # online EM (count.cpp:44-63): refresh model rates mid-sweep from
@@ -351,7 +421,17 @@ def run_chunk(
         "num_resamples": int(state.num_resamples),
         "ess": np.concatenate(ess_traces) if ess_traces else np.array([]),
         "final_front": float(state.front),
+        "walks_capped": float(state.diag[0]),
+        "mig_events_dropped": float(state.diag[1]),
     }
+    if diag["walks_capped"] or diag["mig_events_dropped"]:
+        logging.getLogger("smcsmc").warning(
+            "approximation pressure in chunk: %d migration walks hit "
+            "max_walk_events, %d migration events dropped on buffer overflow "
+            "(max_mig=%d) — consider raising -migbuf",
+            int(diag["walks_capped"]), int(diag["mig_events_dropped"]),
+            pfcfg.max_mig,
+        )
     if num_windows > 0:
         diag["local_recomb"] = {
             "opp_diff": np.asarray(state.win_opp_diff, dtype=np.float64),
@@ -378,6 +458,51 @@ def run_chunk(
             "start": chunk_start,
         }
     return stats, stats_wt, logl, diag
+
+
+def run_chunks(
+    demo: Demography,
+    seg: SegData,
+    cfg: EMConfig,
+    chunks,
+    seeds=None,
+    guide_files=None,
+    vb_counts=None,
+    max_workers: int | None = None,
+):
+    """Run genome chunks concurrently — the scale-out axis the reference
+    implements as concurrent `smcsmc` subprocesses / SGE array jobs
+    (model.py:1094-1100, execute.py:26-105).  Each chunk runs in its own
+    thread with `jax.default_device` pinned to a distinct local device, so
+    on a multi-chip host the chunks' sweeps execute in parallel; with one
+    device (or one worker) this degrades to the serial loop.  Returns the
+    per-chunk (stats, stats_wt, logl, diag) tuples in chunk order."""
+    n = len(chunks)
+    if seeds is None:
+        seeds = [cfg.seed + ci for ci in range(n)]
+    if guide_files is None:
+        guide_files = [None] * n
+    devs = jax.devices()
+    workers = cfg.chunk_workers if max_workers is None else max_workers
+    workers = min(workers if workers > 0 else len(devs), n, len(devs))
+    if workers <= 1:
+        return [
+            run_chunk(demo, seg, cfg, chunk=ch, seed=seeds[ci],
+                      guide_file=guide_files[ci], vb_counts=vb_counts)
+            for ci, ch in enumerate(chunks)
+        ]
+
+    def one(ci):
+        with jax.default_device(devs[ci % len(devs)]):
+            return run_chunk(
+                demo, seg, cfg, chunk=chunks[ci], seed=seeds[ci],
+                guide_file=guide_files[ci], vb_counts=vb_counts,
+            )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(one, range(n)))
 
 
 def sum_stats(stats_list: list[SuffStats]) -> SuffStats:
@@ -494,6 +619,7 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
     )
 
     current = demo
+    vb_counts = None  # previous iteration's event counts (VB correction)
     for it in range(cfg.em_iters + 1):
         # idempotent resume (model.py:1105-1115): skip finished iterations
         if cfg.outdir:
@@ -514,6 +640,8 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
                     result.out_text.append(fh.read())
                 logl = data.get((("LogL", -1, -1, -1, -1), "Count"), 0.0)
                 current = m_step(current, stats, cfg)
+                if cfg.vb:
+                    vb_counts = (stats.coal_cnt, stats.mig_cnt)
                 result.demos.append(current)
                 result.stats.append(stats)
                 result.stats_wt.append(stats_wt)
@@ -540,12 +668,11 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
                 lr.write_data(gpath)
                 guide_files[ci] = gpath
 
-        per_chunk = [
-            run_chunk(current, seg, cfg, chunk=ch,
-                      seed=cfg.seed + 1000 * it + ci,
-                      guide_file=guide_files[ci])
-            for ci, ch in enumerate(chunks)
-        ]
+        per_chunk = run_chunks(
+            current, seg, cfg, chunks,
+            seeds=[cfg.seed + 1000 * it + ci for ci in range(len(chunks))],
+            guide_files=guide_files, vb_counts=vb_counts,
+        )
         if cfg.alpha > 0 and cfg.outdir:
             from .recombio import write_recomb
 
@@ -611,6 +738,8 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
                 fh.write(text)
 
         current = m_step(current, stats, cfg)
+        if cfg.vb:
+            vb_counts = (stats.coal_cnt, stats.mig_cnt)
         result.demos.append(current)
         result.stats.append(stats)
         result.stats_wt.append(stats_wt)

@@ -64,6 +64,8 @@ class TransitionRecord(NamedTuple):
     point_strength: jnp.ndarray  # bias strength at the sampled point
     c_node: jnp.ndarray  # recombining node (for ARG recording)
     coal_pop: jnp.ndarray  # population of the coalescence
+    walk_capped: jnp.ndarray  # scalar: 1 if the migration walk hit its bound
+    buf_dropped: jnp.ndarray  # scalar: migration events dropped on overflow
 
 
 def _epoch_index(epoch_start: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -430,6 +432,7 @@ def _walk_mig_batched(
     )
     # the new root's population when coalescing with the ancestral lineage
     fpop_c = jnp.where(ok, s["fpop_c"], s["r_raw"])
+    capped = (~ok).astype(jnp.float32)  # [P] walk hit max_events (observability)
     return (
         t_c,
         d,
@@ -442,6 +445,7 @@ def _walk_mig_batched(
         s["ev_d"],
         s["rev_t"],
         s["rev_d"],
+        capped,
     )
 
 
@@ -466,28 +470,33 @@ def _filter_events(ev_t, ev_d, lo, hi):
     return t2[order], jnp.where(keep, ev_d, 0)[order]
 
 
-def _merge_events(t1, d1, t2, d2, M):
-    """Merge two INF-padded sorted event lists, keep the earliest M."""
-    t = jnp.concatenate([t1, t2])
-    d = jnp.concatenate([d1, d2])
-    order = jnp.argsort(t)
-    return t[order][:M], d[order][:M]
+def _merge_events_hold(t1, d1, t2, d2, M):
+    """Merge two INF-padded time-sorted event lists into capacity ``M``.
 
+    On overflow, drop the events with the smallest *hold time* (the interval
+    until the next event on the branch): removing event i only changes the
+    branch's population path over ``[t_i, t_{i+1})``, so min-hold dropping
+    perturbs the path over the smallest possible windows.  The last event is
+    never dropped (its hold is unbounded), keeping the pop seen by future
+    coalescences above it exact.  (The reference stores migration events as
+    unbounded scrm node chains; a fixed-capacity buffer needs a drop rule,
+    and earliest-drop was measurably biased once buffers saturated.)
 
-def _merge_events_base(t1, d1, t2, d2, M, base_pop):
-    """Merge two event lists into capacity M, dropping the *earliest* events
-    on overflow and folding them into the branch's base population — the pop
-    path stays exact above the drop point (the part future coalescences see)
-    and only coarsens below."""
+    Returns (times [M], dests [M], n_dropped scalar)."""
     t = jnp.concatenate([t1, t2])
     d = jnp.concatenate([d1, d2])
     order = jnp.argsort(t)
     ts, ds = t[order], d[order]
-    k = jnp.sum(ts < INF)
-    drop = jnp.maximum(k - M, 0)
-    new_base = jnp.where(drop > 0, ds[jnp.maximum(drop - 1, 0)], base_pop)
-    idx = jnp.arange(M) + drop
-    return ts[idx], ds[idx], new_base
+    K = ts.shape[0]
+    valid = ts < INF
+    nxt = jnp.append(ts[1:], INF)
+    hold = jnp.where(valid, nxt - ts, -1.0)
+    keep_idx = jnp.argsort(-hold)[:M]
+    keep = jnp.zeros((K,), bool).at[keep_idx].set(True) & valid
+    tk = jnp.where(keep, ts, INF)
+    order2 = jnp.argsort(tk)[:M]
+    n_dropped = jnp.maximum(jnp.sum(valid) - M, 0)
+    return tk[order2], jnp.where(keep, ds, 0)[order2], n_dropped
 
 
 def _apply_spr(
@@ -514,24 +523,23 @@ def _apply_spr(
     new_time = time.at[p].set(t_c)
     new_pop = pop.at[p].set(fpop_c)
 
+    n_drop = jnp.int32(0)
     if mig_time is not None:
         M = mig_time.shape[1]
         # --- normal SPR event routing ---
         # c's branch [time[c], t_c): old events below the cut + walk events
         c_t0, c_d0 = _filter_events(mig_time[c], mig_dest[c], -INF, h_r)
-        c_t, c_d, c_base = _merge_events_base(
-            c_t0, c_d0, new_ev_t, new_ev_d, M, pop[c]
-        )
+        c_t, c_d, dr1 = _merge_events_hold(c_t0, c_d0, new_ev_t, new_ev_d, M)
         # o's merged branch [time[o], time[g]): o events + p events
-        o_t, o_d, o_base = _merge_events_base(
+        o_t, o_d, dr2 = _merge_events_hold(
             mig_time[o], mig_dest[o], mig_time[jnp.clip(p, 0, N - 1)],
-            mig_dest[jnp.clip(p, 0, N - 1)], M, pop[o],
+            mig_dest[jnp.clip(p, 0, N - 1)], M,
         )
         # d_eff's branch splits at t_c; its upper part becomes q(=p)'s branch.
         # When d_eff == o the split applies to the just-merged o branch.
         do_t = jnp.where(d_eff == o, o_t, mig_time[jnp.clip(d_eff, 0, N - 1)])
         do_d = jnp.where(d_eff == o, o_d, mig_dest[jnp.clip(d_eff, 0, N - 1)])
-        do_base = jnp.where(d_eff == o, o_base, pop[jnp.clip(d_eff, 0, N - 1)])
+        dr3 = jnp.int32(0)
         if root_ev_t is not None:
             # coalescence with the ancestral lineage: the walk's realized
             # root-lineage migration path becomes the old root's branch events.
@@ -540,9 +548,7 @@ def _apply_spr(
             is_root_tgt = (d == root_old) | (d_eff == root_old)
             add_t = jnp.where(is_root_tgt, root_ev_t, INF)
             add_d = jnp.where(is_root_tgt, root_ev_d, 0)
-            do_t, do_d, do_base = _merge_events_base(
-                do_t, do_d, add_t, add_d, M, do_base
-            )
+            do_t, do_d, dr3 = _merge_events_hold(do_t, do_d, add_t, add_d, M)
         dlow_t, dlow_d = _filter_events(do_t, do_d, -INF, t_c)
         dhigh_t, dhigh_d = _filter_events(do_t, do_d, t_c, INF)
         nm, nd = mig_time, mig_dest
@@ -554,26 +560,20 @@ def _apply_spr(
         nd = nd.at[c].set(c_d)
         nm = nm.at[p].set(dhigh_t)
         nd = nd.at[p].set(dhigh_d)
-        # base-pop adjustments from overflow folding (order matters: d_eff
-        # may equal o, in which case the post-split base wins)
-        new_pop = new_pop.at[o].set(o_base)
-        new_pop = new_pop.at[d_eff].set(do_base)
-        new_pop = new_pop.at[c].set(c_base)
         # --- self-coalescence: replace c's [h_r, t_c) section with the walk's
         # events, keep old events outside the window ---
         cs_lo_t, cs_lo_d = _filter_events(mig_time[c], mig_dest[c], -INF, h_r)
         cs_hi_t, cs_hi_d = _filter_events(mig_time[c], mig_dest[c], t_c, INF)
-        cs_t, cs_d, cs_base = _merge_events_base(
-            cs_lo_t, cs_lo_d, new_ev_t, new_ev_d, M, pop[c]
+        cs_t, cs_d, dr4 = _merge_events_hold(
+            cs_lo_t, cs_lo_d, new_ev_t, new_ev_d, M
         )
-        cs_t, cs_d, cs_base = _merge_events_base(
-            cs_t, cs_d, cs_hi_t, cs_hi_d, M, cs_base
-        )
+        cs_t, cs_d, dr5 = _merge_events_hold(cs_t, cs_d, cs_hi_t, cs_hi_d, M)
         noop_nm = mig_time.at[c].set(cs_t)
         noop_nd = mig_dest.at[c].set(cs_d)
-        noop_pop = pop.at[c].set(cs_base)
         mig_time_f = jnp.where(noop, noop_nm, nm)
         mig_dest_f = jnp.where(noop, noop_nd, nd)
+        n_drop = jnp.where(noop, dr4 + dr5, dr1 + dr2 + dr3)
+        noop_pop = pop
     else:
         mig_time_f = None
         mig_dest_f = None
@@ -590,7 +590,7 @@ def _apply_spr(
         root_f = jnp.argmax(parent_f < 0).astype(jnp.int32)
         mig_time_f = mig_time_f.at[root_f].set(INF)
         mig_dest_f = mig_dest_f.at[root_f].set(0)
-    return parent_f, time_f, pop_f, children_f, mig_time_f, mig_dest_f
+    return parent_f, time_f, pop_f, children_f, mig_time_f, mig_dest_f, n_drop
 
 
 # ---------------------------------------------------------------------------
@@ -652,15 +652,15 @@ def recombination_transition(
         )(k_rec, time, parent, children, leaf_rates)
     else:
         c, h_r = jax.vmap(_sample_recomb_point)(k_rec, time, parent)
-        P = c.shape[0]
-        log_iw = jnp.zeros((P,))
-        log_iw_bias = jnp.zeros((P,))
-        strength = jnp.ones((P,))
+        log_iw = jnp.zeros((c.shape[0],))
+        log_iw_bias = jnp.zeros((c.shape[0],))
+        strength = jnp.ones((c.shape[0],))
 
     # --- 2. re-coalescence walk -----------------------------------------
+    P = c.shape[0]
     if has_migration:
         (t_c, d, fpop_c, coal_opp, coal_cnt, mig_opp, mig_cnt, ev_t, ev_d,
-         rev_t, rev_d) = _walk_mig_batched(
+         rev_t, rev_d, walk_capped) = _walk_mig_batched(
             k_walk[0], time, parent, pop, trees.mig_time, trees.mig_dest,
             c, h_r, epochs, max_events, active,
         )
@@ -674,8 +674,9 @@ def recombination_transition(
         )
         rev_t = rev_d = None
         ev_t = ev_d = None
+        walk_capped = jnp.zeros((P,))
         if has_mig_arrays:
-            P, _, Mw = trees.mig_time.shape
+            _, _, Mw = trees.mig_time.shape
             ev_t = jnp.full((P, Mw), INF)
             ev_d = jnp.zeros((P, Mw), jnp.int32)
 
@@ -684,15 +685,15 @@ def recombination_transition(
         spr_in = (parent, time, pop, children, trees.mig_time,
                   trees.mig_dest, c, d, t_c, fpop_c, ev_t, ev_d, h_r)
         if rev_t is not None:
-            pf, tf, popf, cf, mtf, mdf = jax.vmap(_apply_spr)(
+            pf, tf, popf, cf, mtf, mdf, n_drop = jax.vmap(_apply_spr)(
                 *spr_in, rev_t, rev_d
             )
         else:
-            pf, tf, popf, cf, mtf, mdf = jax.vmap(
+            pf, tf, popf, cf, mtf, mdf, n_drop = jax.vmap(
                 lambda *a: _apply_spr(*a, None, None)
             )(*spr_in)
     else:
-        pf, tf, popf, cf, mtf, mdf = jax.vmap(
+        pf, tf, popf, cf, mtf, mdf, n_drop = jax.vmap(
             lambda p, t, po, ch, cc, dd, tc, fp, hh: _apply_spr(
                 p, t, po, ch, None, None, cc, dd, tc, fp, None, None, hh
             )
@@ -725,6 +726,8 @@ def recombination_transition(
         point_strength=strength,
         c_node=c,
         coal_pop=fpop_c,
+        walk_capped=walk_capped,
+        buf_dropped=n_drop.astype(jnp.float32),
     )
     rec = jax.tree_util.tree_map(
         lambda x: jnp.where(

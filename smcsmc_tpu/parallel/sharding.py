@@ -55,14 +55,6 @@ def sharded_step(step_fn, mesh: Mesh, num_particles: int):
     collective permute/all-gather.
     """
 
-    def spec_of_state(state):
-        def f(x):
-            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == num_particles:
-                return NamedSharding(mesh, P("p", *([None] * (x.ndim - 1))))
-            return NamedSharding(mesh, P())
-
-        return jax.tree_util.tree_map(f, state)
-
     def wrapped(state, block):
         return jax.lax.scan(step_fn, state, block)
 

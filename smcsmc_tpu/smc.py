@@ -109,6 +109,11 @@ class PFConfig:
     # proposal rate + per-leaf tree guiding.  Set by the EM driver when a
     # guide file is active (-alpha > 0, model.py:1125-1143).
     use_guide: bool = False
+    # in-proposal variational-Bayes correction (particle.cpp:266-272): each
+    # recorded coal/migration event multiplies the weight by
+    # exp(digamma(C))/C with C the rate's event count from the previous EM
+    # iteration, i.e. the E_q[log rate] Gamma-posterior correction
+    use_vb: bool = False
 
 
 class PFState(NamedTuple):
@@ -152,6 +157,10 @@ class PFState(NamedTuple):
     lr_time: jnp.ndarray = None  # [P, R] recombination height
     lr_desc: jnp.ndarray = None  # [P, R] u32 leaf bitmask of the cut branch
     lr_dropped: jnp.ndarray = None  # [] i32 ring-overflow counter
+    # approximation-pressure diagnostics: [0] = migration walks that hit
+    # max_walk_events (force-coalesced), [1] = migration events dropped on
+    # buffer overflow.  Nonzero values flag silent bias; reported per chunk.
+    diag: jnp.ndarray = None  # [2] f32
 
 
 def init_state(
@@ -209,6 +218,7 @@ def init_state(
         front=jnp.float32(0.0),
         key=key,
         num_resamples=jnp.int32(0),
+        diag=jnp.zeros((2,)),
         df_pos=jnp.full((P, K), INF),
         df_logf=jnp.zeros((P, K)),
         df_delta=jnp.zeros((P, K)),
@@ -469,9 +479,12 @@ def _commit_due_local(state: PFState, w: jnp.ndarray, front, ws: float):
     )
 
 
-def _commit_slot(state: PFState, rotate_e: jnp.ndarray, slot: int) -> PFState:
-    """Commit the oldest FIFO slot for the epochs in ``rotate_e`` using the
-    particles' current normalized weights (count.cpp:448-555 semantics)."""
+def _commit_slot(
+    state: PFState, rotate_e: jnp.ndarray, slot: int, rotate: bool = True
+) -> PFState:
+    """Commit FIFO slot ``slot`` for the epochs in ``rotate_e`` using the
+    particles' current normalized weights (count.cpp:448-555 semantics),
+    then (optionally) rotate those epochs' FIFOs one slot."""
     w = jax.nn.softmax(state.log_w)  # [P]
 
     def commit(field_fifo, field_glob):
@@ -489,7 +502,7 @@ def _commit_slot(state: PFState, rotate_e: jnp.ndarray, slot: int) -> PFState:
         m = _bcast_epoch(rotate_e, contrib, 0)
         return field_glob + jnp.where(m, contrib, 0.0)
 
-    def rotate(field_fifo):
+    def do_rotate(field_fifo):
         rolled = jnp.roll(field_fifo, 1, axis=1)
         zeroed = rolled.at[:, 0].set(0.0)
         m = _bcast_epoch(rotate_e, field_fifo, 2)
@@ -497,18 +510,26 @@ def _commit_slot(state: PFState, rotate_e: jnp.ndarray, slot: int) -> PFState:
 
     stats = jax.tree_util.tree_map(commit, state.fifo, state.stats)
     stats_wt = jax.tree_util.tree_map(commit_wt, state.fifo, state.stats_wt)
-    fifo = jax.tree_util.tree_map(rotate, state.fifo)
+    fifo = (
+        jax.tree_util.tree_map(do_rotate, state.fifo) if rotate
+        else state.fifo
+    )
     return state._replace(stats=stats, stats_wt=stats_wt, fifo=fifo)
 
 
 def flush_pending(state: PFState, window_size: float = 100.0) -> PFState:
     """End-of-data flush: commit every pending slot with current weights
     (count.cpp:366, lag -> 0 at end_data); pending local-recomb events
-    commit likewise."""
+    commit likewise.  Slots are committed WITHOUT rotating — the old
+    commit-and-rotate loop silently skipped half the slots (incl. slot 0,
+    which holds everything when the lag exceeds the chunk length)."""
     F = state.fifo.coal_opp.shape[1]
     all_epochs = jnp.ones(state.stats.recomb_opp.shape[0], dtype=bool)
-    for s in range(F - 1, -1, -1):
-        state = _commit_slot(state, all_epochs, s)
+    for s in range(F):
+        state = _commit_slot(state, all_epochs, s, rotate=False)
+    state = state._replace(
+        fifo=jax.tree_util.tree_map(jnp.zeros_like, state.fifo)
+    )
     if state.lr_pos is not None:
         state = _commit_due_local(
             state, jax.nn.softmax(state.log_w), jnp.float32(INF), window_size
@@ -523,7 +544,7 @@ def flush_pending(state: PFState, window_size: float = 100.0) -> PFState:
 
 def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                       bias_heights=None, bias_strengths=None, delays=None,
-                      tblq=None, guide=None):
+                      tblq=None, guide=None, vb_tables=None):
     """Build the per-segment scan body.
 
     ``epochs``, ``mutation_rate``, ``rho`` and ``lags`` may be traced values
@@ -599,11 +620,12 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
         # (C == 1 for fully phased data); likelihood is averaged over the
         # first n_configs of them (particleContainer.cpp:212-224)
         if cfg.apf > 0:
-            (seg_len, configs, n_configs, seg_state, leaf_status,
+            (seg_len, configs, n_configs, seg_state, leaf_status, dist_mut,
              *la_seg) = seg
             la_seg = tuple(la_seg)
         else:
-            seg_len, configs, n_configs, seg_state, leaf_status = seg
+            (seg_len, configs, n_configs, seg_state, leaf_status,
+             dist_mut) = seg
             la_seg = None
         L = seg_len.astype(jnp.float32)
         has_data = configs[0] >= 0
@@ -620,7 +642,7 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
 
         def body(carry):
             (key, trees, log_w, log_pilot, dfs, arg, lr, next_rec, upd, tl,
-             tl_e, B, pending, it) = carry
+             tl_e, B, pending, diag, it) = carry
             active = next_rec < L
             if cfg.record_arg or record_local:
                 from .kernels.tree import descendant_bitmask
@@ -674,6 +696,20 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                 mig_cnt=pending.mig_cnt + rec.mig_cnt,
                 recomb_cnt=pending.recomb_cnt + rec.recomb_cnt,
             )
+            diag = diag + jnp.stack(
+                [jnp.sum(rec.walk_capped), jnp.sum(rec.buf_dropped)]
+            )
+            if cfg.use_vb:
+                # variational-Bayes in-proposal correction: each recorded
+                # coal/migration event carries log-factor psi(C) - log(C)
+                # (particle.cpp:266-272 adjustWeights(exp_digamma(C)/C));
+                # rec.*_cnt are already zero for inactive particles
+                vb_coal, vb_mig = vb_tables
+                vb_adj = jnp.sum(
+                    rec.coal_cnt * vb_coal[None], axis=(1, 2)
+                ) + jnp.sum(rec.mig_cnt * vb_mig[None], axis=(1, 2, 3))
+                log_w = log_w + vb_adj
+                log_pilot = log_pilot + vb_adj
             if cfg.use_bias or cfg.use_guide:
                 # posterior gets the full IW immediately; the pilot gets the
                 # height-bias part immediately when the point falls in an
@@ -742,7 +778,7 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             upd = jnp.where(active, next_rec, upd)
             next_rec = jnp.where(active, next_rec + gap, next_rec)
             return (key, trees, log_w, log_pilot, dfs, arg, lr, next_rec, upd,
-                    tl, tl_e, B, pending, it + 1)
+                    tl, tl_e, B, pending, diag, it + 1)
 
         pending0 = zero_stats(E, Pp, (P,))
         arg0 = (
@@ -771,10 +807,11 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             tl_e,
             B,
             pending0,
+            state.diag,
             jnp.int32(0),
         )
         (key, trees, log_w, log_pilot, dfs, arg, lr, next_rec, upd, tl, tl_e,
-         B, pending, _) = jax.lax.while_loop(cond, body, carry)
+         B, pending, diag, _) = jax.lax.while_loop(cond, body, carry)
         df_pos, df_logf, df_delta, df_k = dfs
 
         # final extension to the segment end
@@ -815,8 +852,17 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
         )
 
         # ---- push pending increments into FIFO slot 0 ---------------------
+        # max_epoch_to_update (smcsmc.cpp:266-275): during long stretches
+        # without an informative site ahead, epochs whose lag is shorter than
+        # 2x the distance would commit their events before any data could
+        # weigh them — suppress recording there (scale_factor 0.5)
+        rec_e = (dist_mut < 0.5 * lags).astype(jnp.float32)  # [E]
         fifo = jax.tree_util.tree_map(
-            lambda f, p: f.at[:, 0].add(p), state.fifo, pending
+            lambda f, p: f.at[:, 0].add(
+                p * rec_e.reshape((1, rec_e.shape[0]) + (1,) * (p.ndim - 2))
+            ),
+            state.fifo,
+            pending,
         )
 
         # ---- normalize ----------------------------------------------------
@@ -829,8 +875,9 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
         ln_norm = t
 
         front = state.front + L
-        if cfg.use_bias:
-            # drain delayed factors that came due (particle.cpp:911-916)
+        if cfg.use_bias or cfg.use_guide:
+            # drain delayed factors that came due (particle.cpp:911-916);
+            # the guide's per-point IW is delayed too (pfparam.hpp:96-223)
             add, df_pos, df_logf, df_delta, df_k = _apply_due_delayed(
                 df_pos, df_logf, df_delta, df_k, front
             )
@@ -853,6 +900,7 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             df_logf=df_logf,
             df_delta=df_delta,
             df_k=df_k,
+            diag=diag,
         )
         if cfg.record_arg:
             state = state._replace(
@@ -943,10 +991,10 @@ def run_block(state: PFState, step_fn, seg_block) -> tuple[PFState, jnp.ndarray]
 @partial(jax.jit, static_argnums=(0,))
 def _sweep_jit(cfg: PFConfig, state: PFState, seg_block, epochs: Epochs,
                mutation_rate, rho, lags, bias_heights, bias_strengths, delays,
-               tblq, guide):
+               tblq, guide, vb_tables):
     step = make_segment_step(cfg, epochs, mutation_rate, rho, lags,
                              bias_heights, bias_strengths, delays, tblq,
-                             guide)
+                             guide, vb_tables)
     return jax.lax.scan(step, state, seg_block)
 
 
@@ -957,7 +1005,7 @@ def build_sweep(cfg: PFConfig):
 
     def sweep(state, seg_block, epochs, mutation_rate, rho, lags,
               bias_heights=None, bias_strengths=None, delays=None, tblq=None,
-              guide=None):
+              guide=None, vb_tables=None):
         if cfg.use_bias:
             bias_heights = jnp.asarray(bias_heights, jnp.float32)
             bias_strengths = jnp.asarray(bias_strengths, jnp.float32)
@@ -969,10 +1017,15 @@ def build_sweep(cfg: PFConfig):
             guide = tuple(jnp.asarray(g, jnp.float32) for g in guide)
         else:
             guide = None
+        if cfg.use_vb:
+            vb_tables = tuple(jnp.asarray(v, jnp.float32) for v in vb_tables)
+        else:
+            vb_tables = None
         return _sweep_jit(cfg, state, seg_block, epochs,
                           jnp.float32(mutation_rate), jnp.float32(rho),
                           jnp.asarray(lags, jnp.float32),
-                          bias_heights, bias_strengths, delays, tblq, guide)
+                          bias_heights, bias_strengths, delays, tblq, guide,
+                          vb_tables)
 
     return sweep
 
