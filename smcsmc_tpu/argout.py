@@ -73,11 +73,28 @@ def read_trees(path: str) -> np.ndarray:
     )
 
 
-def find_segments(trees_path: str, source: int, dest: int, tmin=0.0, tmax=np.inf):
-    """Migration tracts from M rows (reference: utils.find_segments +
-    trees2tskit migrationlist): returns (pos, time, from, to, desc) rows
-    filtered by direction and time window."""
+def find_segments(
+    trees_path: str,
+    source: int,
+    dest: int,
+    tmin: float = 0.0,
+    tmax: float = np.inf,
+    sequence_length: float | None = None,
+):
+    """Migrated-haplotype tracts from the sampled ARG's M rows (reference:
+    utils.find_segments -> trees2tskit migrationlist, utils.py:345-417).
+
+    A migration hop recorded at genome position x on the branch with
+    descendant set D and event time t persists along the genome until the
+    first later recombination that cuts the SAME branch BELOW the event
+    (R row with desc == D and recombination height < t) — that SPR replaces
+    the branch section carrying the hop.  Returns a structured array with
+    (left, right, time, source, dest, desc) bed-like tract rows filtered by
+    direction and time window."""
     ev = read_trees(trees_path)
+    end = float(sequence_length) if sequence_length else (
+        float(ev["pos"].max()) if len(ev) else 0.0
+    )
     m = ev[
         (ev["code"] == "M")
         & (ev["from"] == source)
@@ -85,7 +102,34 @@ def find_segments(trees_path: str, source: int, dest: int, tmin=0.0, tmax=np.inf
         & (ev["time"] >= tmin)
         & (ev["time"] < tmax)
     ]
-    return m
+    r = ev[ev["code"] == "R"]
+    tracts = []
+    for row in m:
+        cut = r[
+            (r["pos"] > row["pos"])
+            & (r["desc"] == row["desc"])
+            & (r["time"] < row["time"])
+        ]
+        right = float(cut["pos"].min()) if len(cut) else end
+        tracts.append(
+            (float(row["pos"]), right, float(row["time"]),
+             int(row["from"]), int(row["to"]), int(row["desc"]))
+        )
+    return np.array(
+        tracts,
+        dtype=[("left", "f8"), ("right", "f8"), ("time", "f8"),
+               ("source", "i4"), ("dest", "i4"), ("desc", "u8")],
+    )
+
+
+def tract_fraction(tracts: np.ndarray, sequence_length: float, n: int) -> float:
+    """Fraction of total haplotype-bp covered by migrated tracts (each tract
+    covers its descendant leaves)."""
+    if len(tracts) == 0:
+        return 0.0
+    nd = np.array([bin(int(d)).count("1") for d in tracts["desc"]])
+    covered = np.sum((tracts["right"] - tracts["left"]) * nd)
+    return float(covered / (sequence_length * n))
 
 
 def trees_to_tskit(trees_path: str, sequence_length: float):

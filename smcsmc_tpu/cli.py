@@ -139,6 +139,9 @@ def parse_smc2_args(argv: list[str]):
             i += 1
         elif o == "-chunks":
             cfg.chunks = int(take())
+        elif o == "-ckpt":
+            # mid-sweep orbax checkpoint interval in blocks (0 = off)
+            cfg.checkpoint_blocks = int(take())
         elif o == "-nproc":
             # concurrent chunk workers, one device each (the reference's
             # process-level chunk parallelism, execute.py:26-105; 0 = one
@@ -296,6 +299,48 @@ def build_demography(cfg, demo_args, io, seg=None):
     return demo
 
 
+def _log_parameters(cfg, demo, io):
+    """Echo the resolved run configuration into result.log (the reference
+    writes the same inventory via PfParam::writeLog, pfparam.cpp:403-456)."""
+    from . import __version__
+
+    lines = [
+        "###########################",
+        "#      smc2-tpu log       #",
+        "###########################",
+        f"version: {__version__}",
+        "smcsmc parameters:",
+        f"  Segment data files: {io['segs'] or 'empty'}",
+        f"  Recombination guide file: {cfg.guide_file or 'None'}",
+        f"  EM steps = {cfg.em_iters}",
+    ]
+    if cfg.lag > 0:
+        lines.append(f"  Constant lag = {cfg.lag}")
+    if cfg.calibrate_lag:
+        lines.append(f"  Calibrated lag = {cfg.lag_fraction} x survival")
+    if cfg.online:
+        lines.append("  Online update = TRUE")
+    lines += [
+        f"  N (particles) = {cfg.num_particles}",
+        f"  ESS threshold = {cfg.ess_threshold}",
+        f"  chunks = {cfg.chunks}  workers = {cfg.chunk_workers}",
+        f"  VB = {cfg.vb}  APF = {cfg.apf}  alpha = {cfg.alpha}",
+        f"  seed = {cfg.seed}",
+        "model parameters:",
+        f"  Sample size = {demo.num_samples}",
+        f"  Seq length = {demo.sequence_length:g}",
+        f"  mutation rate = {demo.mutation_rate:g}",
+        f"  recomb rate = {demo.recombination_rate:g}",
+        "  Pop size (at Generation):",
+    ]
+    for e in range(demo.num_epochs):
+        sizes = " | ".join(f"{s:10.1f}" for s in demo.pop_sizes[e])
+        lines.append(f"  ({demo.change_times[e]:10.1f} ) {sizes}")
+    lines.append(f"Out file is saved in file: {io['out']}/result.out")
+    for ln in lines:
+        logger.info("%s", ln)
+
+
 def smcsmc_main(argv=None):
     from ._cache import enable_compilation_cache
     from .em import run_em
@@ -324,6 +369,7 @@ def smcsmc_main(argv=None):
         seg = read_seg(io["segs"][0])
 
     demo = build_demography(cfg, demo_args, io, seg=seg)
+    _log_parameters(cfg, demo, io)
     if io["bias_heights"]:
         # convert 4N0 units -> generations; drop a leading 0
         hs = [h * 4 * io["N0"] for h in io["bias_heights"] if h > 0]

@@ -84,6 +84,10 @@ class EMConfig:
     # (reference runs chunks as concurrent subprocesses/SGE jobs,
     # model.py:1094-1100, execute.py:26-105).  0 = one worker per device.
     chunk_workers: int = 1
+    # mid-sweep fault tolerance: orbax-checkpoint the full PFState every k
+    # blocks; a re-run of the same chunk resumes from the last checkpoint
+    # instead of losing the whole sweep.  0 = off.
+    checkpoint_blocks: int = 0
 
 
 def _auto_mig_buffer(demo: Demography) -> int:
@@ -264,6 +268,14 @@ def vb_log_tables(demo: Demography, counts=None, pseudocount: float = 1.0):
     return tbl(coal_c), tbl(mig_c)
 
 
+def _combine_desc_words(d: np.ndarray) -> np.ndarray:
+    """[A, dw] u32 descendant-bitmask words -> [A] u64 (descendants.hpp:16)."""
+    out = d[:, 0].astype(np.uint64)
+    if d.shape[1] > 1:
+        out = out | (d[:, 1].astype(np.uint64) << np.uint64(32))
+    return out
+
+
 def run_chunk(
     demo: Demography,
     seg: SegData,
@@ -382,17 +394,45 @@ def run_chunk(
             num_trees=cfg.apf_trees,
         )
 
+    # mid-sweep checkpoint/resume (SURVEY.md §5.4): unique per (EM
+    # iteration, chunk) because the driver derives `seed` from both
+    ckpt_path = resume_block = None
+    if cfg.checkpoint_blocks > 0 and cfg.outdir:
+        import json
+
+        from .checkpoint import load_state, save_state
+
+        ckpt_path = os.path.join(
+            cfg.outdir, "ckpt", f"seed{seed}_start{int(chunk_start)}"
+        )
+        meta_path = ckpt_path + ".meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                resume_block = json.load(fh)["block"]
+            state = load_state(ckpt_path, state)
+            logging.getLogger("smcsmc").info(
+                "resuming chunk sweep from checkpoint after block %d",
+                resume_block,
+            )
+
     ess_traces = []
     next_update = cfg.online_threshold
     cur_demo = demo
-    for block in prepare_blocks(
+    for bi, block in enumerate(prepare_blocks(
         seg, cfg.block_size, chunk_start, max_configs=max_configs,
         dephase=cfg.dephase, lookahead=la,
-    ):
+    )):
+        if resume_block is not None and bi <= resume_block:
+            continue  # already folded into the restored state
         state, ess = sweep(state, block, epochs, cur_demo.mutation_rate, rho,
                            lags, bias_heights, bias_strengths, delays,
                            tblq=tblq, guide=guide, vb_tables=vb_tables)
         ess_traces.append(np.asarray(ess))
+        if ckpt_path and (bi + 1) % cfg.checkpoint_blocks == 0:
+            jax.block_until_ready(state.ln_norm)
+            save_state(ckpt_path, state)
+            with open(ckpt_path + ".meta.json", "w") as fh:
+                json.dump({"block": bi}, fh)
         if cfg.online and float(state.front) > next_update:
             # online EM (count.cpp:44-63): refresh model rates mid-sweep from
             # the statistics committed so far.  Rates are traced inputs, so
@@ -407,6 +447,14 @@ def run_chunk(
             next_update += cfg.online_interval
 
     state = jax.jit(lambda s: flush_pending(s, cfg.guide_interval))(state)
+
+    if ckpt_path and os.path.exists(ckpt_path + ".meta.json"):
+        # chunk finished: drop the mid-sweep checkpoint (iteration-level
+        # resume takes over from here)
+        import shutil
+
+        os.remove(ckpt_path + ".meta.json")
+        shutil.rmtree(ckpt_path, ignore_errors=True)
 
     pseudo = prior_pseudostats(demo)
     stats = jax.tree_util.tree_map(
@@ -453,7 +501,7 @@ def run_chunk(
             "time": np.asarray(state.arg_time[best]),
             "from": np.asarray(state.arg_from[best]),
             "to": np.asarray(state.arg_to[best]),
-            "desc": np.asarray(state.arg_desc[best]),
+            "desc": _combine_desc_words(np.asarray(state.arg_desc[best])),
             "n": int(state.arg_n[best]),
             "start": chunk_start,
         }
@@ -620,7 +668,10 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
 
     current = demo
     vb_counts = None  # previous iteration's event counts (VB correction)
+    import time as _time
+
     for it in range(cfg.em_iters + 1):
+        _t_iter = _time.monotonic()
         # idempotent resume (model.py:1105-1115): skip finished iterations
         if cfg.outdir:
             from .checkpoint import have_outfile, load_iteration
@@ -744,6 +795,10 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
         result.stats.append(stats)
         result.stats_wt.append(stats_wt)
         result.log_likelihoods.append(logl)
+        logging.getLogger("smcsmc").info(
+            "EM iteration %d: %.1f s, logL %.2f, %d chunk(s), %d resample(s)",
+            it, _time.monotonic() - _t_iter, logl, len(chunks), n_resample,
+        )
 
     if cfg.outdir:
         with open(os.path.join(cfg.outdir, "result.out"), "w") as fh:

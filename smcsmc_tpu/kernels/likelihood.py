@@ -37,7 +37,12 @@ def _site_likelihood_one(
     order = jnp.argsort(tree_time[n:]) + n
 
     # unrolled height-ordered combine (n is static; the loop machinery of a
-    # fori_loop costs more than the 3-15 gather/fma steps it would hide)
+    # fori_loop costs more than the 3-15 gather/fma steps it would hide).
+    # Each internal node's partial is rescaled to max 1 with the log-scale
+    # accumulated: for n >= ~24 the raw product underflows float32 to exact
+    # zero (the reference computes in double, particle.cpp:625-680), which
+    # both floors the filter's signal and poisons log-weights with -inf.
+    acc = jnp.float32(0.0)
     for i in range(n - 1):
         v = order[i]
         c0, c1 = tree_children[v, 0], tree_children[v, 1]
@@ -48,11 +53,33 @@ def _site_likelihood_one(
         a0, a1 = partial[c0], partial[c1]
         m0 = a0 * p0 + a0[::-1] * (1.0 - p0)
         m1 = a1 * p1 + a1[::-1] * (1.0 - p1)
-        partial = partial.at[v].set(m0 * m1)
+        val = m0 * m1
+        s = jnp.maximum(jnp.maximum(val[0], val[1]), 1e-30)
+        partial = partial.at[v].set(val / s)
+        acc = acc + jnp.log(s)
 
     # root = highest internal node; for n == 1 the single leaf is the root
     root = order[n - 2] if n > 1 else jnp.int32(0)
-    return jnp.dot(partial[root], ancestral_prior)
+    return jnp.dot(partial[root], ancestral_prior), acc
+
+
+def site_log_likelihood(
+    trees,
+    alleles: jnp.ndarray,
+    mutation_rate: float,
+    ancestral_aware: bool = False,
+) -> jnp.ndarray:
+    """[P] per-particle site log-likelihood (particle.cpp:667-680), exact in
+    log space via per-node rescaling — no underflow floor at large n."""
+    prior = jnp.where(
+        ancestral_aware, jnp.array([1.0, 0.0]), jnp.array([0.5, 0.5])
+    )
+
+    def one(t, c):
+        lik, acc = _site_likelihood_one(t, c, alleles, mutation_rate, prior)
+        return jnp.log(jnp.maximum(lik, 1e-30)) + acc
+
+    return jax.vmap(one)(trees.time, trees.children)
 
 
 def site_likelihood(
@@ -61,13 +88,11 @@ def site_likelihood(
     mutation_rate: float,
     ancestral_aware: bool = False,
 ) -> jnp.ndarray:
-    """[P] per-particle site likelihood (reference: particle.cpp:667-680)."""
-    prior = jnp.where(
-        ancestral_aware, jnp.array([1.0, 0.0]), jnp.array([0.5, 0.5])
+    """[P] per-particle site likelihood (linear space; may underflow for
+    large n — prefer :func:`site_log_likelihood` in weight updates)."""
+    return jnp.exp(
+        site_log_likelihood(trees, alleles, mutation_rate, ancestral_aware)
     )
-    return jax.vmap(
-        lambda t, c: _site_likelihood_one(t, c, alleles, mutation_rate, prior)
-    )(trees.time, trees.children)
 
 
 def phase_configurations(alleles: jnp.ndarray, max_unphased_pairs: int):

@@ -155,7 +155,8 @@ def _split_loglik(
     rate_of_change = treelen * rho / 2.0
     p_nochange = jnp.exp(-rate_of_change * jnp.maximum(split_dist, 0.0))
     prior = jnp.array([0.5, 0.5])
-    p_splitdata = _site_likelihood_one(time, children, split_alleles, mu, prior)
+    p_sd, p_acc = _site_likelihood_one(time, children, split_alleles, mu, prior)
+    p_splitdata = p_sd * jnp.exp(p_acc)
     k = split_k.astype(jnp.float32)
     if apf_level == 4:
         # 1 / nchoosek(n, k) via lgamma (particle.cpp:594-595)

@@ -66,6 +66,11 @@ class TransitionRecord(NamedTuple):
     coal_pop: jnp.ndarray  # population of the coalescence
     walk_capped: jnp.ndarray  # scalar: 1 if the migration walk hit its bound
     buf_dropped: jnp.ndarray  # scalar: migration events dropped on overflow
+    # realized migration events on the new branch, for the ARG's M rows
+    # (particleContainer.cpp:541-547); None without migration
+    mig_ev_t: jnp.ndarray = None  # [P, 2*Mw] event times, INF-padded
+    mig_ev_from: jnp.ndarray = None  # [P, 2*Mw] source pop of each hop
+    mig_ev_to: jnp.ndarray = None  # [P, 2*Mw] destination pop
 
 
 def _epoch_index(epoch_start: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -437,6 +442,7 @@ def _walk_mig_batched(
         t_c,
         d,
         fpop_c,
+        p_raw0,
         s["coal_opp"],
         s["coal_cnt"],
         s["mig_opp"],
@@ -659,10 +665,15 @@ def recombination_transition(
     # --- 2. re-coalescence walk -----------------------------------------
     P = c.shape[0]
     if has_migration:
-        (t_c, d, fpop_c, coal_opp, coal_cnt, mig_opp, mig_cnt, ev_t, ev_d,
-         rev_t, rev_d, walk_capped) = _walk_mig_batched(
+        (t_c, d, fpop_c, start_pop, coal_opp, coal_cnt, mig_opp, mig_cnt,
+         ev_t, ev_d, rev_t, rev_d, walk_capped) = _walk_mig_batched(
             k_walk[0], time, parent, pop, trees.mig_time, trees.mig_dest,
             c, h_r, epochs, max_events, active,
+        )
+        # per-event source-pop path for the ARG's M rows: the new branch's
+        # lineage starts in start_pop and hops dest-to-dest
+        mig_ev_from = jnp.concatenate(
+            [start_pop[:, None], ev_d[:, :-1]], axis=1
         )
     else:
         (t_c, d, fpop_c, coal_opp, coal_cnt, mig_opp, mig_cnt, _, _) = (
@@ -674,6 +685,7 @@ def recombination_transition(
         )
         rev_t = rev_d = None
         ev_t = ev_d = None
+        mig_ev_from = None
         walk_capped = jnp.zeros((P,))
         if has_mig_arrays:
             _, _, Mw = trees.mig_time.shape
@@ -728,6 +740,9 @@ def recombination_transition(
         coal_pop=fpop_c,
         walk_capped=walk_capped,
         buf_dropped=n_drop.astype(jnp.float32),
+        mig_ev_t=ev_t if has_migration else None,
+        mig_ev_from=mig_ev_from,
+        mig_ev_to=ev_d if has_migration else None,
     )
     rec = jax.tree_util.tree_map(
         lambda x: jnp.where(

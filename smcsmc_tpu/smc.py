@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .kernels.likelihood import site_likelihood
+from .kernels.likelihood import site_log_likelihood
 from .kernels.transition import recombination_transition
 from .kernels.tree import (
     INF,
@@ -115,6 +115,17 @@ class PFConfig:
     # iteration, i.e. the E_q[log rate] Gamma-posterior correction
     use_vb: bool = False
 
+    @property
+    def desc_words(self) -> int:
+        """u32 words per descendant bitmask: 1 for <=32 leaves, 2 up to the
+        reference's 64-leaf Descendants_t contract (descendants.hpp:16)."""
+        if self.num_leaves > 64:
+            raise ValueError(
+                "descendant recording supports at most 64 sample haplotypes "
+                f"(got {self.num_leaves}); reference has the same u64 cap"
+            )
+        return 1 if self.num_leaves <= 32 else 2
+
 
 class PFState(NamedTuple):
     trees: Trees
@@ -143,7 +154,7 @@ class PFState(NamedTuple):
     arg_time: jnp.ndarray = None  # [P, A]
     arg_from: jnp.ndarray = None  # [P, A]
     arg_to: jnp.ndarray = None  # [P, A]
-    arg_desc: jnp.ndarray = None  # [P, A] u32 leaf bitmask
+    arg_desc: jnp.ndarray = None  # [P, A, dw] u32 leaf bitmask words (<=64 leaves)
     arg_n: jnp.ndarray = None  # [P] total events pushed (ring index)
     # local recombination-guide recording (count.cpp:559-613): global window
     # accumulators + a per-particle pending-event ring committed with the
@@ -155,7 +166,7 @@ class PFState(NamedTuple):
     lr_pos: jnp.ndarray = None  # [P, R] event position (INF = free slot)
     lr_due: jnp.ndarray = None  # [P, R] commit position (pos + lag[epoch(h)])
     lr_time: jnp.ndarray = None  # [P, R] recombination height
-    lr_desc: jnp.ndarray = None  # [P, R] u32 leaf bitmask of the cut branch
+    lr_desc: jnp.ndarray = None  # [P, R, dw] u32 bitmask words of the cut branch
     lr_dropped: jnp.ndarray = None  # [] i32 ring-overflow counter
     # approximation-pressure diagnostics: [0] = migration walks that hit
     # max_walk_events (force-coalesced), [1] = migration events dropped on
@@ -228,7 +239,8 @@ def init_state(
         arg_time=jnp.zeros((P, cfg.arg_slots)) if cfg.record_arg else None,
         arg_from=jnp.full((P, cfg.arg_slots), -1, jnp.int8) if cfg.record_arg else None,
         arg_to=jnp.full((P, cfg.arg_slots), -1, jnp.int8) if cfg.record_arg else None,
-        arg_desc=jnp.zeros((P, cfg.arg_slots), jnp.uint32) if cfg.record_arg else None,
+        arg_desc=jnp.zeros((P, cfg.arg_slots, cfg.desc_words), jnp.uint32)
+        if cfg.record_arg else None,
         arg_n=jnp.zeros((P,), jnp.int32) if cfg.record_arg else None,
         **(
             dict(
@@ -239,7 +251,9 @@ def init_state(
                 lr_pos=jnp.full((P, cfg.local_ring), INF),
                 lr_due=jnp.full((P, cfg.local_ring), INF),
                 lr_time=jnp.zeros((P, cfg.local_ring)),
-                lr_desc=jnp.zeros((P, cfg.local_ring), jnp.uint32),
+                lr_desc=jnp.zeros(
+                    (P, cfg.local_ring, cfg.desc_words), jnp.uint32
+                ),
                 lr_dropped=jnp.int32(0),
             )
             if cfg.num_windows > 0
@@ -362,14 +376,16 @@ def _push_arg_event(arg, mask, pos, code, time, from_pop, to_pop, desc, A):
     rowid = jnp.arange(P)
     slot = arg_n % A
     def setm(a, v):
-        return a.at[rowid, slot].set(
-            jnp.where(mask, v.astype(a.dtype), a[rowid, slot])
-        )
+        old = a[rowid, slot]
+        m = mask.reshape((P,) + (1,) * (old.ndim - 1))
+        return a.at[rowid, slot].set(jnp.where(m, v.astype(a.dtype), old))
     arg_pos = setm(arg_pos, pos)
     arg_code = setm(arg_code, jnp.full((P,), code, jnp.int8))
     arg_time = setm(arg_time, time)
     arg_from = setm(arg_from, from_pop.astype(jnp.int8))
-    arg_to = setm(arg_to, jnp.full((P,), to_pop, jnp.int8))
+    arg_to = setm(
+        arg_to, jnp.broadcast_to(jnp.asarray(to_pop, jnp.int8), (P,))
+    )
     arg_desc = setm(arg_desc, desc)
     arg_n = arg_n + mask.astype(jnp.int32)
     return (arg_pos, arg_code, arg_time, arg_from, arg_to, arg_desc, arg_n)
@@ -409,7 +425,7 @@ def _push_local_event(lr, mask, pos, due, height, desc):
         jnp.where(do, height, lr_time[rowid, slot])
     )
     lr_desc = lr_desc.at[rowid, slot].set(
-        jnp.where(do, desc, lr_desc[rowid, slot])
+        jnp.where(do[:, None], desc, lr_desc[rowid, slot])
     )
     lr_dropped = lr_dropped + jnp.sum(mask & ~has_free).astype(jnp.int32)
     return (lr_pos, lr_due, lr_time, lr_desc, lr_dropped)
@@ -451,8 +467,9 @@ def _commit_due_local(state: PFState, w: jnp.ndarray, front, ws: float):
     W, n = state.win_leaf_cnt.shape
     due = state.lr_due <= front  # [P, R]
     widx = jnp.clip((state.lr_pos / ws).astype(jnp.int32), 0, W - 1)
+    word = jnp.arange(n) // 32  # [n] u32 word holding each leaf's bit
     bits = (
-        state.lr_desc[:, :, None] >> jnp.arange(n, dtype=jnp.uint32)
+        state.lr_desc[:, :, word] >> jnp.arange(n, dtype=jnp.uint32) % 32
     ) & jnp.uint32(1)  # [P, R, n]
     nd = jnp.maximum(jnp.sum(bits, axis=-1), 1).astype(jnp.float32)  # [P, R]
     wt = jnp.where(due, w[:, None], 0.0)  # [P, R]
@@ -645,11 +662,21 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
              tl_e, B, pending, diag, it) = carry
             active = next_rec < L
             if cfg.record_arg or record_local:
-                from .kernels.tree import descendant_bitmask
+                # [P, N, dw] — recombining node's leaf set (pre-transition),
+                # dw u32 words covering up to 64 leaves (descendants.hpp:16)
+                if cfg.desc_words == 1:
+                    from .kernels.tree import descendant_bitmask
 
-                desc_pre = jax.vmap(descendant_bitmask)(
-                    trees.children, trees.time, trees.parent
-                )  # [P, N] — recombining node's leaf set (pre-transition)
+                    desc_pre = jax.vmap(descendant_bitmask)(
+                        trees.children, trees.time, trees.parent
+                    )[:, :, None]
+                else:
+                    from .kernels.tree import descendant_bitmask64
+
+                    lo, hi = jax.vmap(
+                        descendant_bitmask64, in_axes=(0, 0, 0)
+                    )(trees.children, trees.time, trees.parent)
+                    desc_pre = jnp.stack([lo, hi], axis=-1)
             delta = jnp.where(active, next_rec - upd, 0.0)
             # no-mutation likelihood over [upd, next_rec)
             log_w = log_w - mu * B * delta
@@ -739,8 +766,8 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                 # R + C rows of the .trees event log
                 # (particleContainer.cpp:515-555 format)
                 dc = jnp.take_along_axis(
-                    desc_pre, rec.c_node[:, None], axis=1
-                )[:, 0]
+                    desc_pre, rec.c_node[:, None, None], axis=1
+                )[:, 0]  # [P, dw]
                 abs_pos = state.front + next_rec
                 arg = _push_arg_event(
                     arg, active, abs_pos, 0, rec.recomb_height,
@@ -750,12 +777,27 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                     arg, active, abs_pos, 1, rec.coal_height,
                     rec.coal_pop, -1, dc, cfg.arg_slots,
                 )
+                if rec.mig_ev_t is not None:
+                    # M rows: realized migration hops on the new branch
+                    # (particleContainer.cpp:541-547).  Cap at 4 per
+                    # transition — more hops per single SPR is vanishingly
+                    # rare at plausible rates.
+                    from .kernels.tree import INF as _INF
+
+                    for j in range(min(4, rec.mig_ev_t.shape[1])):
+                        mv = active & (rec.mig_ev_t[:, j] < 0.5 * _INF)
+                        arg = _push_arg_event(
+                            arg, mv, abs_pos, 2, rec.mig_ev_t[:, j],
+                            rec.mig_ev_from[:, j],
+                            rec.mig_ev_to[:, j].astype(jnp.int8),
+                            dc, cfg.arg_slots,
+                        )
             if record_local:
                 # pending local-recomb event: committed with the lag of the
                 # recombination height's epoch (count.cpp:595-613)
                 dc_l = jnp.take_along_axis(
-                    desc_pre, rec.c_node[:, None], axis=1
-                )[:, 0]
+                    desc_pre, rec.c_node[:, None, None], axis=1
+                )[:, 0]  # [P, dw]
                 e_hl = jnp.clip(
                     jnp.searchsorted(
                         epochs.start, rec.recomb_height, side="right"
@@ -836,14 +878,19 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             lw, lp = ws
             C = configs.shape[0]
             if C == 1:
-                lik = site_likelihood(trees, configs[0], mu, cfg.ancestral_aware)
+                ll = site_log_likelihood(
+                    trees, configs[0], mu, cfg.ancestral_aware
+                )
             else:
                 per_cfg = jax.vmap(
-                    lambda al: site_likelihood(trees, al, mu, cfg.ancestral_aware)
+                    lambda al: site_log_likelihood(
+                        trees, al, mu, cfg.ancestral_aware
+                    )
                 )(configs)  # [C, P]
                 mask = (jnp.arange(C) < n_configs)[:, None]
-                lik = jnp.sum(jnp.where(mask, per_cfg, 0.0), axis=0) / n_configs
-            ll = jnp.log(jnp.maximum(lik, 1e-38))
+                ll = jax.scipy.special.logsumexp(
+                    jnp.where(mask, per_cfg, -jnp.inf), axis=0
+                ) - jnp.log(n_configs.astype(jnp.float32))
             return lw + ll, lp + ll
 
         apply_site = (seg_state == 0) & (leaf_status != -1)  # SEGMENT_INVARIANT

@@ -118,3 +118,32 @@ class TestNoDataInvariance:
         # posterior-weighted recombination-rate estimate must stay unbiased
         r_hat = float(stats.recomb_cnt.sum() / stats.recomb_opp.sum())
         assert r_hat == pytest.approx(1e-9, rel=0.25)
+
+
+@pytest.mark.slow
+class TestGuideLoop:
+    def test_alpha_produces_and_consumes_guide(self, tmp_path):
+        """-alpha 0.7: iteration 0 dumps .recomb.gz evidence, iteration 1
+        smooths it into a guide and runs guided (model.py:1125-1143 +
+        pfparam.hpp:96-223).  The guided iteration must still produce a
+        finite LogL and a sane Ne (guide bias is IW-compensated)."""
+        import os
+
+        from smcsmc_tpu.em import run_em
+
+        truth = 10000.0
+        demo = const_demo(ne=truth, n=4, L=5e5)
+        seg = simulate_seg(demo, seed=51)
+        cfg = EMConfig(
+            num_particles=100, block_size=128, em_iters=1,
+            alpha=0.7, outdir=str(tmp_path), seed=3,
+        )
+        result = run_em(demo, seg, cfg)
+        assert os.path.exists(tmp_path / "emiter0" / "chunk0.recomb.gz")
+        assert os.path.exists(
+            tmp_path / "emiter1" / "chunk0.recomb_guide.gz"
+        )
+        assert all(np.isfinite(result.log_likelihoods))
+        stats = result.stats[-1]
+        ne_hat = float(stats.coal_opp.sum() / (2.0 * stats.coal_cnt.sum()))
+        assert ne_hat == pytest.approx(truth, rel=0.5)

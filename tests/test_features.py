@@ -67,6 +67,31 @@ class TestArgOutput:
         np.testing.assert_allclose(ev["pos"], [2, 3, 4, 5])
 
 
+class TestArgSweep:
+    @pytest.mark.parametrize("n", [4, 36])
+    def test_sweep_records_desc(self, tmp_path, n):
+        """End-to-end -arg recording through the sweep: every R/C event row
+        carries a nonempty descendant bitstring, and with n > 32 leaves the
+        two-word (u64) masks must reach bits above 32 (descendants.hpp:16 —
+        round-1 capped silently at 32)."""
+        from smcsmc_tpu.em import run_chunk
+
+        demo = tiny_demo(n=n, L=3e4)
+        seg = simulate_seg(demo, seed=17)
+        cfg = EMConfig(num_particles=8, record_arg=True, block_size=64)
+        _, _, _, diag = run_chunk(demo, seg, cfg, seed=2)
+        a = diag["arg"]
+        assert a["n"] > 0
+        desc = a["desc"][: min(a["n"], len(a["desc"]))]
+        assert desc.dtype == np.uint64
+        assert np.all(desc > 0)
+        # full-tree events (pre-MRCA branches) must cover all n leaves
+        full = np.uint64((1 << n) - 1)
+        assert np.max(desc) <= full
+        if n > 32:
+            assert np.any(desc >> np.uint64(32) > 0)
+
+
 class TestResume:
     @pytest.mark.slow
     def test_skip_finished_iteration(self, tmp_path):
@@ -84,6 +109,54 @@ class TestResume:
 
 
 class TestCheckpoint:
+    def test_midsweep_resume_matches_uninterrupted(self, tmp_path):
+        """A chunk killed mid-sweep resumes from its block checkpoint and
+        produces the same statistics as an uninterrupted run (the driver
+        now actually calls the orbax layer — round 1 shipped it unwired)."""
+        from smcsmc_tpu.em import EMConfig, run_chunk
+
+        demo = tiny_demo(n=4, L=2e5)
+        seg = simulate_seg(demo, seed=23)
+        base = dict(num_particles=16, block_size=16)
+        ref_stats, _, ref_logl, _ = run_chunk(
+            demo, seg, EMConfig(**base), seed=5
+        )
+        # interrupted run: checkpoint every 2 blocks, abort after block 4
+        cfg = EMConfig(**base, checkpoint_blocks=2, outdir=str(tmp_path))
+        import smcsmc_tpu.em as em_mod
+
+        calls = {"n": 0}
+        real_sweep_builder = em_mod.build_sweep
+
+        def aborting_builder(pfcfg):
+            sweep = real_sweep_builder(pfcfg)
+
+            def wrapped(*a, **k):
+                if calls["n"] == 4:
+                    raise RuntimeError("simulated crash")
+                calls["n"] += 1
+                return sweep(*a, **k)
+
+            return wrapped
+
+        em_mod.build_sweep = aborting_builder
+        try:
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                run_chunk(demo, seg, cfg, seed=5)
+        finally:
+            em_mod.build_sweep = real_sweep_builder
+        # checkpoint must exist, then the re-run resumes and finishes
+        assert any(p.name.endswith(".meta.json")
+                   for p in (tmp_path / "ckpt").iterdir())
+        stats, _, logl, _ = run_chunk(demo, seg, cfg, seed=5)
+        assert logl == pytest.approx(ref_logl, rel=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(stats.coal_cnt), np.asarray(ref_stats.coal_cnt),
+            rtol=1e-4,
+        )
+        # consumed checkpoint is cleaned up
+        assert not any((tmp_path / "ckpt").iterdir())
+
     @pytest.mark.slow
     def test_orbax_state_roundtrip(self, tmp_path):
         import jax

@@ -116,3 +116,48 @@ class TestApi:
     def test_dict_to_args(self):
         args = dict_to_args({"EM": 10, "seg": "a.seg b.seg", "arg": ""})
         assert args == ["-EM", "10", "-seg", "a.seg", "b.seg", "-arg"]
+
+
+class TestTsConvert:
+    def test_variants_to_seg_roundtrip(self, tmp_path):
+        """variants_to_seg writes rows read_seg parses back: spans cover
+        [first, last) with the right genotype columns (utils.py:131-143)."""
+        import numpy as np
+
+        from smcsmc_tpu.segio import read_seg
+        from smcsmc_tpu.tsconvert import variants_to_seg
+
+        pos = np.array([100, 350, 900])
+        gen = np.array([[0, 1, 0, 0], [1, 1, 0, 0], [0, 0, 0, 1]])
+        out = str(tmp_path / "x.seg")
+        variants_to_seg(pos, gen, out)
+        seg = read_seg(out)
+        assert seg.num_samples == 4
+        np.testing.assert_array_equal(seg.positions, [1, 100, 350])
+        np.testing.assert_array_equal(seg.lengths, [99, 250, 550])
+        np.testing.assert_array_equal(seg.alleles[0], [0, 1, 0, 0])
+        np.testing.assert_array_equal(seg.alleles[2], [0, 0, 0, 1])
+
+    def test_mask_emits_missing(self, tmp_path):
+        import numpy as np
+
+        from smcsmc_tpu.segio import read_seg
+        from smcsmc_tpu.tsconvert import variants_to_seg
+
+        pos = np.array([100, 500])
+        gen = np.array([[0, 1], [1, 0]])
+        out = str(tmp_path / "m.seg")
+        variants_to_seg(pos, gen, out, mask_intervals=[[200, 300]])
+        seg = read_seg(out)
+        # a '..' row must cover [200, 300)
+        i = list(seg.positions).index(200)
+        assert seg.lengths[i] == 100
+        assert np.all(seg.alleles[i] == -1)
+
+    def test_ts_to_seg_requires_tskit(self, tmp_path):
+        import pytest as _pytest
+
+        from smcsmc_tpu.tsconvert import prune_tree_sequence
+
+        with _pytest.raises(ImportError, match="variants_to_seg"):
+            prune_tree_sequence(str(tmp_path / "a.trees"), 4)

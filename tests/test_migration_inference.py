@@ -56,3 +56,38 @@ class TestMigrationInference:
         m01 = float(stats.mig_cnt[0, 0, 1] / stats.mig_opp[0, 0])
         m10 = float(stats.mig_cnt[0, 1, 0] / stats.mig_opp[0, 1])
         assert m10 > m01, f"expected asymmetry: m10={m10:.3g} m01={m01:.3g}"
+
+
+class TestMigrationTracts:
+    def test_m_rows_and_tracts(self, tmp_path):
+        """The sampled ARG carries M rows for realized migration hops
+        (particleContainer.cpp:541-547) and find_segments reconstructs
+        bed-like tracts with positive length from them."""
+        from smcsmc_tpu.argout import (
+            find_segments, read_trees, tract_fraction, write_trees,
+        )
+
+        ne, m = 10000.0, 1e-4
+        demo = island(ne, m, m, n_per_pop=2, L=2e5)
+        seg = simulate_seg(demo, seed=41)
+        cfg = EMConfig(num_particles=32, block_size=64, record_arg=True)
+        _, _, _, diag = run_chunk(demo, seg, cfg, seed=13)
+        a = diag["arg"]
+        path = str(tmp_path / "chunk0.trees.gz")
+        write_trees(path, a["pos"], a["code"], a["time"], a["from"],
+                    a["to"], a["desc"], a["n"], start_position=a["start"])
+        ev = read_trees(path)
+        assert np.sum(ev["code"] == "M") > 0, "no migration rows recorded"
+        # M rows carry a real direction and a nonempty descendant set
+        mrow = ev[ev["code"] == "M"]
+        assert np.all(mrow["from"] != mrow["to"])
+        assert np.all(mrow["desc"] > 0)
+        tr01 = find_segments(path, 0, 1, sequence_length=2e5)
+        tr10 = find_segments(path, 1, 0, sequence_length=2e5)
+        tracts = tr01 if len(tr01) else tr10
+        assert len(tracts) > 0
+        assert np.all(tracts["right"] > tracts["left"])
+        # overlapping tracts can push the raw covered-bp ratio past 1 at
+        # high rates; require a positive, finite coverage signal
+        frac = tract_fraction(tracts, 2e5, 4)
+        assert np.isfinite(frac) and frac > 0.0
