@@ -74,22 +74,38 @@ class TransitionRecord(NamedTuple):
 
 
 def _epoch_index(epoch_start: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    return jnp.clip(
-        jnp.searchsorted(epoch_start, t, side="right") - 1, 0, epoch_start.shape[0] - 1
+    """Epoch of time(s) t via comparison-count — NOT searchsorted, whose
+    batched lowering gathers per element and serializes on TPU."""
+    E = epoch_start.shape[0]
+    cnt = jnp.sum(
+        t[..., None] >= epoch_start.reshape((1,) * t.ndim + (E,)), axis=-1
     )
+    return jnp.clip(cnt - 1, 0, E - 1).astype(jnp.int32)
+
+
+def _oh_pick(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] for a scalar idx into axis 0 as a one-hot reduction —
+    batched gathers serialize on TPU (GatherScatterIndicesBitpacked), while
+    this fuses into compare+select+reduce on the VPU.  Works for any
+    trailing shape."""
+    K = table.shape[0]
+    oh = (jnp.arange(K) == idx).reshape((K,) + (1,) * (table.ndim - 1))
+    return jnp.sum(jnp.where(oh, table, jnp.zeros_like(table)), axis=0)
 
 
 def _sample_recomb_point(key, tree_time, tree_parent):
-    """Uniform point on the local tree: returns (node c, height h_r)."""
+    """Uniform point on the local tree: returns (node c, height h_r).
+    Gather-free: first-hit selection by comparison instead of searchsorted."""
     bl = branch_lengths(tree_time, tree_parent)
     cum = jnp.cumsum(bl)
     total = cum[-1]
     u = jax.random.uniform(key, (), minval=1e-7, maxval=1.0 - 1e-7)
     x = u * total
-    c = jnp.searchsorted(cum, x, side="left").astype(jnp.int32)
-    c = jnp.clip(c, 0, bl.shape[0] - 1)
-    prev = jnp.where(c > 0, cum[jnp.maximum(c - 1, 0)], 0.0)
-    h_r = tree_time[c] + (x - prev)
+    hit = cum >= x  # first true == searchsorted(cum, x, side='left')
+    c = jnp.argmax(hit).astype(jnp.int32)
+    c = jnp.where(jnp.any(hit), c, bl.shape[0] - 1)
+    prev = _oh_pick(cum, c) - _oh_pick(bl, c)
+    h_r = _oh_pick(tree_time, c) + (x - prev)
     return c, h_r
 
 
@@ -108,15 +124,22 @@ def guide_branch_rates(
     n = (N + 1) // 2
     r = jnp.concatenate([leaf_rates.astype(jnp.float32), jnp.zeros(n - 1)])
     order = jnp.argsort(tree_time[n:]) + n  # internal nodes, lowest first
-    for i in range(n - 1):
-        v = order[i]
+    eq = jnp.arange(N)
+
+    def up(r, v):
         c0, c1 = tree_children[v, 0], tree_children[v, 1]
-        r = r.at[v].set(0.5 * (r[c0] + r[c1]))
+        return jnp.where(eq == v, 0.5 * (r[c0] + r[c1]), r), None
+
+    if n <= 8:
+        for i in range(n - 1):
+            r, _ = up(r, order[i])
+    else:
+        r, _ = jax.lax.scan(up, r, order)
     root = order[n - 2] if n > 1 else jnp.int32(0)
     rc0 = tree_children[root, 0]
     rc1 = tree_children[root, 1]
     mx = jnp.maximum(r[rc0], r[rc1])
-    r = r.at[rc0].set(mx).at[rc1].set(mx)
+    r = jnp.where((eq == rc0) | (eq == rc1), mx, r)
     return r
 
 
@@ -192,51 +215,107 @@ def _sample_recomb_point_biased(
 
 
 def _walk_fast(key, time, parent, pop, c, h_r, epochs: Epochs):
-    """Migration-free re-coalescence: single piecewise-hazard inversion."""
+    """Migration-free re-coalescence: single piecewise-hazard inversion.
+
+    Sort-free and gather-free: the cumulative hazard Λ(t) of the structured
+    coalescent (rate k_same(t) / 2Ne(t), piecewise linear in t) is evaluated
+    directly at every UNSORTED breakpoint candidate (node times ∪ epoch
+    starts) as a [V, N, E] elementwise tensor; the event time inverts
+    Λ(t*) = x by taking the highest breakpoint with Λ ≤ x plus a linear
+    step at the local rate.  The previous formulation (jnp.sort of the
+    breakpoints + searchsorted + a dozen index gathers) compiled to a
+    while-loop sort and GatherScatterIndicesBitpacked custom calls that
+    serialized on TPU — ~16 ms/call at P=10k vs sub-ms for this form."""
     N = parent.shape[0]
     E, Pp = epochs.num_epochs, epochs.num_pops
     k_coal, k_tgt = jax.random.split(key)
+    end = epochs.end  # [E]
 
-    b = jnp.sort(jnp.concatenate([time, epochs.start]))  # [I]
-    b_end = jnp.append(b[1:], INF)
-    e_idx = _epoch_index(epochs.start, b)
-    pt = parent_time(time, parent)
-    crossing = (time[None, :] <= b[:, None]) & (b[:, None] < pt[None, :])  # [I, N]
+    # parent_time as a one-hot reduction (gather-free)
+    pt = jnp.where(
+        parent[:, None] == jnp.arange(N)[None, :], time[None, :], 0.0
+    ).sum(axis=1)
+    pt = jnp.where(parent < 0, INF, pt)
 
-    mp = epochs.pop_map[e_idx]  # [I, Pp]
-    branch_pop = jnp.take_along_axis(
-        mp, jnp.broadcast_to(pop[None, :], (b.shape[0], N)), axis=1
-    )
-    float_pop = jnp.take_along_axis(
-        mp, pop[c][None, None].repeat(b.shape[0], 0), axis=1
-    )[:, 0]
+    # branch populations per epoch under -ej folding: mapped[e, b]
+    oh_pop = pop[None, :] == jnp.arange(Pp)[:, None]  # [Pp, N]
+    mapped = jnp.sum(
+        jnp.where(oh_pop[None, :, :], epochs.pop_map[:, :, None], 0), axis=1
+    )  # [E, N]
+    pop_c = jnp.sum(jnp.where(jnp.arange(N) == c, pop, 0))
+    fpop_e = _oh_pick(epochs.pop_map.T, pop_c)  # [E] floating pop per epoch
+    same = mapped == fpop_e[:, None]  # [E, N]
+    ne_e = jnp.sum(
+        jnp.where(fpop_e[:, None] == jnp.arange(Pp)[None, :], epochs.ne, 0.0),
+        axis=1,
+    )  # [E] Ne of the floating lineage's population per epoch
+    inv2ne = 1.0 / (2.0 * ne_e)  # [E]
 
-    same = crossing & (branch_pop == float_pop[:, None])
-    k_same = jnp.sum(same, axis=1).astype(jnp.float32)
-    ne = epochs.ne[e_idx, float_pop]
-    rate = k_same / (2.0 * ne)
+    def big_lambda(t):
+        """Cumulative hazard over [h_r, t]: Σ_b Σ_e same·overlap/(2Ne_e)."""
+        lo = jnp.maximum(time[None, :], jnp.maximum(epochs.start[:, None], h_r))
+        hi = jnp.minimum(pt[None, :], jnp.minimum(end[:, None], t))
+        ov = jnp.clip(hi - lo, 0.0, None)  # [E, N]
+        return jnp.sum(jnp.where(same, ov, 0.0) * inv2ne[:, None])
+
+    # breakpoint candidates (unsorted): node times + epoch starts
+    v = jnp.concatenate([time, epochs.start])  # [V]
+    lo_v = jnp.maximum(
+        time[None, None, :], jnp.maximum(epochs.start[None, :, None], h_r)
+    )  # [1, E, N]
+    hi_v = jnp.minimum(
+        pt[None, None, :],
+        jnp.minimum(end[None, :, None], v[:, None, None]),
+    )  # [V, E, N]
+    ov_v = jnp.clip(hi_v - lo_v, 0.0, None)
+    lam_v = jnp.sum(
+        jnp.where(same[None], ov_v, 0.0) * inv2ne[None, :, None], axis=(1, 2)
+    )  # [V] Λ at each candidate
 
     u = jax.random.uniform(k_coal, (), minval=1e-7, maxval=1.0 - 1e-7)
-    t_c = sample_piecewise_exponential(u, h_r, b, b_end, rate)
+    x = -jnp.log1p(-u)  # Exp(1) target
+
+    # highest breakpoint not exceeding the target hazard (and >= h_r)
+    t_lo = jnp.max(jnp.where(lam_v <= x, v, -INF))
+    t_lo = jnp.maximum(t_lo, h_r)
+    lam_lo = big_lambda(t_lo)
+    # local rate on [t_lo, next breakpoint): right-continuous evaluation
+    e_lo = _epoch_index(epochs.start, t_lo)
+    same_lo = _oh_pick(same, e_lo).astype(bool)  # [N]
+    k_lo = jnp.sum(
+        jnp.where((time <= t_lo) & (t_lo < pt) & same_lo, 1.0, 0.0)
+    )
+    rate_lo = k_lo * _oh_pick(inv2ne, e_lo)
+    t_c = t_lo + jnp.where(
+        rate_lo > 0, (x - lam_lo) / jnp.maximum(rate_lo, 1e-30), INF
+    )
     t_c = jnp.minimum(t_c, jnp.float32(0.99 * INF))
 
     e_c = _epoch_index(epochs.start, t_c)
-    mp_c = epochs.pop_map[e_c]
-    fpop_c = mp_c[pop[c]]
-    cross_c = (time <= t_c) & (t_c < pt) & (mp_c[pop] == fpop_c)
+    fpop_c = jnp.sum(jnp.where(jnp.arange(E) == e_c, fpop_e, 0))
+    same_c = _oh_pick(same, e_c).astype(bool)
+    cross_c = (time <= t_c) & (t_c < pt) & same_c
     kc = jnp.sum(cross_c)
     r = jax.random.randint(k_tgt, (), 0, jnp.maximum(kc, 1))
     csum = jnp.cumsum(cross_c.astype(jnp.int32)) - 1
     d = jnp.argmax((csum == r) & cross_c).astype(jnp.int32)
 
-    ov = jnp.clip(jnp.minimum(b_end, t_c) - jnp.maximum(b, h_r), 0.0, None)
-    ov = jnp.where(jnp.isfinite(ov), ov, 0.0)
-    flat = e_idx * Pp + float_pop
-    coal_opp = jax.ops.segment_sum(k_same * ov, flat, num_segments=E * Pp).reshape(
-        E, Pp
-    )
-    mig_opp = jax.ops.segment_sum(ov, flat, num_segments=E * Pp).reshape(E, Pp)
-    coal_cnt = jnp.zeros((E, Pp)).at[e_c, fpop_c].add(1.0)
+    # opportunity records over [h_r, t_c] (coalevent.hpp:209-244)
+    lo_o = jnp.maximum(time[None, :], jnp.maximum(epochs.start[:, None], h_r))
+    hi_o = jnp.minimum(pt[None, :], jnp.minimum(end[:, None], t_c))
+    ov_o = jnp.clip(hi_o - lo_o, 0.0, None)  # [E, N]
+    coal_opp_e = jnp.sum(jnp.where(same, ov_o, 0.0), axis=1)  # [E]
+    span_e = jnp.clip(
+        jnp.minimum(end, t_c) - jnp.maximum(epochs.start, h_r), 0.0, None
+    )  # [E] lineage-time per epoch
+    oh_fpop = (fpop_e[:, None] == jnp.arange(Pp)[None, :]).astype(
+        jnp.float32
+    )  # [E, Pp]
+    coal_opp = coal_opp_e[:, None] * oh_fpop
+    mig_opp = span_e[:, None] * oh_fpop
+    coal_cnt = (
+        (jnp.arange(E)[:, None] == e_c) & (jnp.arange(Pp)[None, :] == fpop_c)
+    ).astype(jnp.float32)
     mig_cnt = jnp.zeros((E, Pp, Pp))
     new_ev_t = None
     new_ev_d = None
@@ -331,7 +410,8 @@ def _walk_mig_batched(
         )
         bp = jnp.take_along_axis(pm, last, axis=1)  # [P, N]
         # the root's ancestral lineage population is dynamic state
-        bp = bp.at[rowid, root].set(r_cur)
+        bp = jnp.where(jnp.arange(N)[None, :] == root[:, None],
+                       r_cur[:, None], bp)
         crossing = (time <= t[:, None]) & (t[:, None] < pt)  # [P, N]
         cand = crossing & (bp == p_cur[:, None])
         k_same = jnp.sum(cand, axis=1).astype(jnp.float32)  # [P]
@@ -353,11 +433,16 @@ def _walk_mig_batched(
         # in the pairwise phase (both active nodes record, particle.cpp:251+)
         span = jnp.clip(t_next - t, 0.0, None)
         span = jnp.where(jnp.isfinite(span) & go, span, 0.0)
-        coal_opp = s["coal_opp"].at[rowid, e, p_cur].add(k_same * span)
-        mig_opp = s["mig_opp"].at[rowid, e, p_cur].add(span)
-        mig_opp = mig_opp.at[rowid, e, r_cur].add(
-            jnp.where(above_root, span, 0.0)
-        )
+        # one-hot masked adds (vmapped/batched scatters serialize on TPU)
+        oh_e = (e[:, None] == jnp.arange(E)[None, :]).astype(jnp.float32)
+        oh_p = (p_cur[:, None] == jnp.arange(Pp)[None, :]).astype(jnp.float32)
+        oh_r = (r_cur[:, None] == jnp.arange(Pp)[None, :]).astype(jnp.float32)
+        oh_ep = oh_e[:, :, None] * oh_p[:, None, :]  # [P, E, Pp]
+        coal_opp = s["coal_opp"] + oh_ep * (k_same * span)[:, None, None]
+        mig_opp = s["mig_opp"] + oh_ep * span[:, None, None]
+        mig_opp = mig_opp + (oh_e[:, :, None] * oh_r[:, None, :]) * jnp.where(
+            above_root, span, 0.0
+        )[:, None, None]
 
         # --- event choice --------------------------------------------------
         x = jax.random.uniform(k2, (P,)) * total
@@ -374,9 +459,9 @@ def _walk_mig_batched(
         d_new = jnp.argmax((csum == r[:, None]) & cand, axis=1).astype(
             jnp.int32
         )
-        coal_cnt = s["coal_cnt"].at[rowid, e, p_cur].add(
-            is_coal.astype(jnp.float32)
-        )
+        coal_cnt = s["coal_cnt"] + oh_ep * is_coal.astype(jnp.float32)[
+            :, None, None
+        ]
 
         # migration lanes: sample destination for whichever lineage moves
         mover = jnp.where(is_root_mig, r_cur, p_cur)
@@ -385,18 +470,20 @@ def _walk_mig_batched(
             k4, jnp.log(jnp.maximum(w, 1e-30)), axis=-1
         ).astype(jnp.int32)
         any_mig = is_float_mig | is_root_mig
-        mig_cnt = s["mig_cnt"].at[rowid, e, mover, dest].add(
-            any_mig.astype(jnp.float32)
+        oh_m = (mover[:, None] == jnp.arange(Pp)[None, :]).astype(jnp.float32)
+        oh_d = (dest[:, None] == jnp.arange(Pp)[None, :]).astype(jnp.float32)
+        mig_cnt = s["mig_cnt"] + (
+            any_mig.astype(jnp.float32)[:, None, None, None]
+            * oh_e[:, :, None, None]
+            * oh_m[:, None, :, None]
+            * oh_d[:, None, None, :]
         )
 
         def push(ev_t, ev_d, n_ev, mask):
             slot = jnp.minimum(n_ev, 2 * Mw - 1)
-            ev_t = ev_t.at[rowid, slot].set(
-                jnp.where(mask, t_next, ev_t[rowid, slot])
-            )
-            ev_d = ev_d.at[rowid, slot].set(
-                jnp.where(mask, dest, ev_d[rowid, slot])
-            )
+            hit = (jnp.arange(2 * Mw)[None, :] == slot[:, None]) & mask[:, None]
+            ev_t = jnp.where(hit, t_next[:, None], ev_t)
+            ev_d = jnp.where(hit, dest[:, None], ev_d)
             return ev_t, ev_d, n_ev + mask.astype(jnp.int32)
 
         ev_t, ev_d, n_ev = push(s["ev_t"], s["ev_d"], s["n_ev"], is_float_mig)
@@ -461,11 +548,17 @@ def _walk_mig_batched(
 
 
 def _replace_in_row(children, node, old, new, N):
-    """children[node][slot == old] = new, guarded for node < 0."""
-    idx = jnp.clip(node, 0, N - 1)
-    row = children[idx]
-    row2 = jnp.where(row == old, new, row)
-    return children.at[idx].set(jnp.where(node >= 0, row2, children[idx]))
+    """children[node][slot == old] = new, guarded for node < 0.
+
+    Masked select instead of ``.at[idx].set``: under vmap the scatter
+    serializes on TPU, while this compiles to fused elementwise ops."""
+    hit = (jnp.arange(N) == node)[:, None] & (children == old)
+    return jnp.where(hit & (node >= 0), new, children)
+
+
+def _set_at(arr, i, v):
+    """arr with arr[i] = v, as a masked select (scatter-free under vmap)."""
+    return jnp.where(jnp.arange(arr.shape[0]) == i, v, arr)
 
 
 def _filter_events(ev_t, ev_d, lo, hi):
@@ -498,7 +591,9 @@ def _merge_events_hold(t1, d1, t2, d2, M):
     nxt = jnp.append(ts[1:], INF)
     hold = jnp.where(valid, nxt - ts, -1.0)
     keep_idx = jnp.argsort(-hold)[:M]
-    keep = jnp.zeros((K,), bool).at[keep_idx].set(True) & valid
+    keep = (
+        jnp.any(keep_idx[None, :] == jnp.arange(K)[:, None], axis=1) & valid
+    )
     tk = jnp.where(keep, ts, INF)
     order2 = jnp.argsort(tk)[:M]
     n_dropped = jnp.maximum(jnp.sum(valid) - M, 0)
@@ -509,42 +604,50 @@ def _apply_spr(
     parent, time, pop, children, mig_time, mig_dest, c, d, t_c, fpop_c,
     new_ev_t, new_ev_d, h_r, root_ev_t=None, root_ev_d=None,
 ):
-    """Constant-time SPR on the index arrays (+ migration-buffer routing)."""
+    """Constant-time SPR on the index arrays (+ migration-buffer routing).
+    All node lookups are one-hot reductions — batched gathers serialize on
+    TPU."""
     N = parent.shape[0]
-    p = parent[c]
-    sib = children[jnp.clip(p, 0, N - 1)]
+    p = _oh_pick(parent, c)  # c is never the root (its branch has length 0)
+    sib = _oh_pick(children, jnp.clip(p, 0, N - 1))
     o = jnp.where(sib[0] == c, sib[1], sib[0])
-    g = parent[jnp.clip(p, 0, N - 1)]
+    g = _oh_pick(parent, jnp.clip(p, 0, N - 1))
     noop = d == c
     d_eff = jnp.where(d == p, o, d)
-    gp = jnp.where(d_eff == o, g, parent[jnp.clip(d_eff, 0, N - 1)])
+    gp = jnp.where(d_eff == o, g, _oh_pick(parent, jnp.clip(d_eff, 0, N - 1)))
 
     # splice o up to g
-    new_parent = parent.at[o].set(g)
+    new_parent = _set_at(parent, o, g)
     new_children = _replace_in_row(children, g, p, o, N)
     # insert node q (reusing slot p) on the branch above d_eff
-    new_parent = new_parent.at[d_eff].set(p).at[p].set(gp)
-    new_children = new_children.at[p].set(jnp.stack([c, d_eff]))
+    new_parent = _set_at(_set_at(new_parent, d_eff, p), p, gp)
+    new_children = jnp.where(
+        (jnp.arange(N) == p)[:, None], jnp.stack([c, d_eff]), new_children
+    )
     new_children = _replace_in_row(new_children, gp, d_eff, p, N)
-    new_time = time.at[p].set(t_c)
-    new_pop = pop.at[p].set(fpop_c)
+    new_time = _set_at(time, p, t_c)
+    new_pop = _set_at(pop, p, fpop_c)
 
     n_drop = jnp.int32(0)
     if mig_time is not None:
         M = mig_time.shape[1]
+        mig_c_t, mig_c_d = _oh_pick(mig_time, c), _oh_pick(mig_dest, c)
         # --- normal SPR event routing ---
         # c's branch [time[c], t_c): old events below the cut + walk events
-        c_t0, c_d0 = _filter_events(mig_time[c], mig_dest[c], -INF, h_r)
+        c_t0, c_d0 = _filter_events(mig_c_t, mig_c_d, -INF, h_r)
         c_t, c_d, dr1 = _merge_events_hold(c_t0, c_d0, new_ev_t, new_ev_d, M)
         # o's merged branch [time[o], time[g]): o events + p events
         o_t, o_d, dr2 = _merge_events_hold(
-            mig_time[o], mig_dest[o], mig_time[jnp.clip(p, 0, N - 1)],
-            mig_dest[jnp.clip(p, 0, N - 1)], M,
+            _oh_pick(mig_time, o), _oh_pick(mig_dest, o),
+            _oh_pick(mig_time, jnp.clip(p, 0, N - 1)),
+            _oh_pick(mig_dest, jnp.clip(p, 0, N - 1)), M,
         )
         # d_eff's branch splits at t_c; its upper part becomes q(=p)'s branch.
         # When d_eff == o the split applies to the just-merged o branch.
-        do_t = jnp.where(d_eff == o, o_t, mig_time[jnp.clip(d_eff, 0, N - 1)])
-        do_d = jnp.where(d_eff == o, o_d, mig_dest[jnp.clip(d_eff, 0, N - 1)])
+        de_t = _oh_pick(mig_time, jnp.clip(d_eff, 0, N - 1))
+        de_d = _oh_pick(mig_dest, jnp.clip(d_eff, 0, N - 1))
+        do_t = jnp.where(d_eff == o, o_t, de_t)
+        do_d = jnp.where(d_eff == o, o_d, de_d)
         dr3 = jnp.int32(0)
         if root_ev_t is not None:
             # coalescence with the ancestral lineage: the walk's realized
@@ -557,25 +660,28 @@ def _apply_spr(
             do_t, do_d, dr3 = _merge_events_hold(do_t, do_d, add_t, add_d, M)
         dlow_t, dlow_d = _filter_events(do_t, do_d, -INF, t_c)
         dhigh_t, dhigh_d = _filter_events(do_t, do_d, t_c, INF)
+        def set_row(a, i, v):
+            return jnp.where((jnp.arange(N) == i)[:, None], v, a)
+
         nm, nd = mig_time, mig_dest
-        nm = nm.at[o].set(o_t)
-        nd = nd.at[o].set(o_d)
-        nm = nm.at[d_eff].set(dlow_t)
-        nd = nd.at[d_eff].set(dlow_d)
-        nm = nm.at[c].set(c_t)
-        nd = nd.at[c].set(c_d)
-        nm = nm.at[p].set(dhigh_t)
-        nd = nd.at[p].set(dhigh_d)
+        nm = set_row(nm, o, o_t)
+        nd = set_row(nd, o, o_d)
+        nm = set_row(nm, d_eff, dlow_t)
+        nd = set_row(nd, d_eff, dlow_d)
+        nm = set_row(nm, c, c_t)
+        nd = set_row(nd, c, c_d)
+        nm = set_row(nm, p, dhigh_t)
+        nd = set_row(nd, p, dhigh_d)
         # --- self-coalescence: replace c's [h_r, t_c) section with the walk's
         # events, keep old events outside the window ---
-        cs_lo_t, cs_lo_d = _filter_events(mig_time[c], mig_dest[c], -INF, h_r)
-        cs_hi_t, cs_hi_d = _filter_events(mig_time[c], mig_dest[c], t_c, INF)
+        cs_lo_t, cs_lo_d = _filter_events(mig_c_t, mig_c_d, -INF, h_r)
+        cs_hi_t, cs_hi_d = _filter_events(mig_c_t, mig_c_d, t_c, INF)
         cs_t, cs_d, dr4 = _merge_events_hold(
             cs_lo_t, cs_lo_d, new_ev_t, new_ev_d, M
         )
         cs_t, cs_d, dr5 = _merge_events_hold(cs_t, cs_d, cs_hi_t, cs_hi_d, M)
-        noop_nm = mig_time.at[c].set(cs_t)
-        noop_nd = mig_dest.at[c].set(cs_d)
+        noop_nm = set_row(mig_time, c, cs_t)
+        noop_nd = set_row(mig_dest, c, cs_d)
         mig_time_f = jnp.where(noop, noop_nm, nm)
         mig_dest_f = jnp.where(noop, noop_nd, nd)
         n_drop = jnp.where(noop, dr4 + dr5, dr1 + dr2 + dr3)
@@ -594,8 +700,9 @@ def _apply_spr(
         # is re-simulated fresh by every walk (memoryless), so storing it
         # would only accumulate stale history unboundedly
         root_f = jnp.argmax(parent_f < 0).astype(jnp.int32)
-        mig_time_f = mig_time_f.at[root_f].set(INF)
-        mig_dest_f = mig_dest_f.at[root_f].set(0)
+        root_row = (jnp.arange(N) == root_f)[:, None]
+        mig_time_f = jnp.where(root_row, INF, mig_time_f)
+        mig_dest_f = jnp.where(root_row, 0, mig_dest_f)
     return parent_f, time_f, pop_f, children_f, mig_time_f, mig_dest_f, n_drop
 
 
@@ -722,9 +829,7 @@ def recombination_transition(
         mdf = jnp.where(act[:, None, None], mdf, trees.mig_dest)
 
     e_r = _epoch_index(epochs.start, h_r)  # [P]
-    recomb_cnt = jnp.zeros((h_r.shape[0], E)).at[
-        jnp.arange(h_r.shape[0]), e_r
-    ].add(1.0)
+    recomb_cnt = (e_r[:, None] == jnp.arange(E)[None, :]).astype(jnp.float32)
     rec = TransitionRecord(
         coal_opp=coal_opp,
         coal_cnt=coal_cnt,

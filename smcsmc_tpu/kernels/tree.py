@@ -120,8 +120,16 @@ def epochs_from_demography(demo) -> Epochs:
 
 def parent_time(tree_time: jnp.ndarray, tree_parent: jnp.ndarray) -> jnp.ndarray:
     """[N] time of each node's parent; INF for the root (its branch above is
-    the unbounded ancestral lineage)."""
-    pt = tree_time[jnp.clip(tree_parent, 0, None)]
+    the unbounded ancestral lineage).  One-hot reduction instead of a gather:
+    batched gathers serialize on TPU, and this sits in every hot kernel."""
+    N = tree_time.shape[0]
+    pt = jnp.sum(
+        jnp.where(
+            tree_parent[:, None] == jnp.arange(N)[None, :],
+            tree_time[None, :], 0.0,
+        ),
+        axis=1,
+    )
     return jnp.where(tree_parent < 0, INF, pt)
 
 
@@ -176,16 +184,39 @@ def branch_length_per_epoch(
 def leaf_ancestor_ids(tree_parent: jnp.ndarray) -> jnp.ndarray:
     """[n, n] node ids: column 0 is each leaf itself, column k its k-th
     ancestor (-1 past the root).  A leaf has at most n-1 ancestors, so n
-    columns cover every root path.  Fully vectorized (n-1 unrolled gathers)
-    — replaces height-ordered sequential traversals."""
+    columns cover every root path — replaces height-ordered sequential
+    traversals.  Small n unrolls the n-1 gathers; large n uses a scan so the
+    traced program stays O(1) in n (the reference's 64-leaf Descendants_t
+    contract, descendants.hpp:16, would otherwise wall out compile time)."""
     N = tree_parent.shape[0]
     n = (N + 1) // 2
-    cols = [jnp.arange(n, dtype=jnp.int32)]
-    cur = cols[0]
-    for _ in range(n - 1):
-        cur = jnp.where(cur >= 0, tree_parent[jnp.clip(cur, 0, N - 1)], -1)
-        cols.append(cur)
-    return jnp.stack(cols, axis=1)
+
+    def up(cur):
+        # parent lookup as a one-hot reduction (gather-free on TPU)
+        par = jnp.sum(
+            jnp.where(
+                cur[:, None] == jnp.arange(N)[None, :],
+                tree_parent[None, :], 0,
+            ),
+            axis=1,
+        )
+        return jnp.where(cur >= 0, par, -1)
+
+    first = jnp.arange(n, dtype=jnp.int32)
+    if n <= 8:
+        cols = [first]
+        cur = first
+        for _ in range(n - 1):
+            cur = up(cur)
+            cols.append(cur)
+        return jnp.stack(cols, axis=1)
+
+    def step(cur, _):
+        nxt = up(cur)
+        return nxt, nxt
+
+    _, rest = jax.lax.scan(step, first, None, length=n - 1)  # [n-1, n]
+    return jnp.concatenate([first[None, :], rest], axis=0).T
 
 
 def count_data_leaves_below(
@@ -196,18 +227,18 @@ def count_data_leaves_below(
 ) -> jnp.ndarray:
     """[N] number of data-carrying leaves below (and including) each node.
 
-    Scatter-adds each leaf's data flag onto its ancestor chain
-    (reference recursion: particle.cpp:706-730).  ``tree_parent`` is required
-    (kept last for call-site compatibility)."""
+    Adds each leaf's data flag onto its ancestor chain (reference recursion:
+    particle.cpp:706-730) via a one-hot masked sum — vmapped scatters
+    serialize on TPU.  ``tree_parent`` is required (kept last for call-site
+    compatibility)."""
     N = tree_time.shape[0]
-    ids = leaf_ancestor_ids(tree_parent)  # [n, n]
-    idx = jnp.where(ids >= 0, ids, N)  # N = out of bounds -> dropped
+    ids = leaf_ancestor_ids(tree_parent).reshape(-1)  # [n*n]
     vals = jnp.broadcast_to(
-        has_data.astype(jnp.int32)[:, None], ids.shape
-    )
-    return jnp.zeros((N,), jnp.int32).at[idx.reshape(-1)].add(
-        vals.reshape(-1), mode="drop"
-    )
+        has_data.astype(jnp.int32)[:, None],
+        (has_data.shape[0], has_data.shape[0]),
+    ).reshape(-1)
+    hit = ids[None, :] == jnp.arange(N)[:, None]  # [N, n*n]
+    return jnp.sum(jnp.where(hit, vals[None, :], 0), axis=1)
 
 
 def data_branch_length(
@@ -235,18 +266,16 @@ def descendant_bitmask(
     :func:`descendant_bitmask64` covers the reference's full 64-leaf
     contract (descendants.hpp:16).
 
-    Scatter-based: each leaf ORs its bit onto its ancestor chain (bits are
-    disjoint across leaves, so add == or)."""
+    One-hot masked sum: each leaf ORs its bit onto its ancestor chain (bits
+    are disjoint across leaves, so add == or); scatter-free under vmap."""
     N = tree_time.shape[0]
     n = (N + 1) // 2
-    ids = leaf_ancestor_ids(tree_parent)
-    idx = jnp.where(ids >= 0, ids, N)
+    ids = leaf_ancestor_ids(tree_parent).reshape(-1)  # [n*n]
     bits = jnp.broadcast_to(
-        (jnp.uint32(1) << jnp.arange(n, dtype=jnp.uint32))[:, None], ids.shape
-    )
-    return jnp.zeros((N,), jnp.uint32).at[idx.reshape(-1)].add(
-        bits.reshape(-1), mode="drop"
-    )
+        (jnp.uint32(1) << jnp.arange(n, dtype=jnp.uint32))[:, None], (n, n)
+    ).reshape(-1)
+    hit = ids[None, :] == jnp.arange(N)[:, None]  # [N, n*n]
+    return jnp.sum(jnp.where(hit, bits[None, :], jnp.uint32(0)), axis=1)
 
 
 def descendant_bitmask64(
@@ -259,15 +288,15 @@ def descendant_bitmask64(
     requiring x64 mode on TPU."""
     N = tree_time.shape[0]
     n = (N + 1) // 2
-    ids = leaf_ancestor_ids(tree_parent)
-    idx = jnp.where(ids >= 0, ids, N).reshape(-1)
+    ids = leaf_ancestor_ids(tree_parent).reshape(-1)  # [n*n]
     leaf = jnp.arange(n, dtype=jnp.uint32)
     bit_lo = jnp.where(leaf < 32, jnp.uint32(1) << (leaf % 32), jnp.uint32(0))
     bit_hi = jnp.where(leaf >= 32, jnp.uint32(1) << (leaf % 32), jnp.uint32(0))
-    blo = jnp.broadcast_to(bit_lo[:, None], ids.shape).reshape(-1)
-    bhi = jnp.broadcast_to(bit_hi[:, None], ids.shape).reshape(-1)
-    lo = jnp.zeros((N,), jnp.uint32).at[idx].add(blo, mode="drop")
-    hi = jnp.zeros((N,), jnp.uint32).at[idx].add(bhi, mode="drop")
+    blo = jnp.broadcast_to(bit_lo[:, None], (n, n)).reshape(-1)
+    bhi = jnp.broadcast_to(bit_hi[:, None], (n, n)).reshape(-1)
+    hit = ids[None, :] == jnp.arange(N)[:, None]  # [N, n*n]
+    lo = jnp.sum(jnp.where(hit, blo[None, :], jnp.uint32(0)), axis=1)
+    hi = jnp.sum(jnp.where(hit, bhi[None, :], jnp.uint32(0)), axis=1)
     return lo, hi
 
 
@@ -435,16 +464,19 @@ def make_initial_trees(
         do_coal = go & ~hit_bk & is_coal & (m >= 2)
 
         def setm(arr, i1, val, mask):
-            # masked scatter: unmasked rows write their old value back
-            return arr.at[rowid, i1].set(jnp.where(mask, val, arr[rowid, i1]))
+            # masked select over the column axis (scatter-free: batched
+            # scatters serialize on TPU)
+            K = arr.shape[1]
+            hit = (jnp.arange(K)[None, :] == i1[:, None]) & mask[:, None]
+            return jnp.where(hit, val[:, None], arr)
 
         parent = setm(s["parent"], a, m_id, do_coal)
         parent = setm(parent, b, m_id, do_coal)
-        children = s["children"].at[rowid, m_id, 0].set(
-            jnp.where(do_coal, a, s["children"][rowid, m_id, 0])
-        )
-        children = children.at[rowid, m_id, 1].set(
-            jnp.where(do_coal, b, children[rowid, m_id, 1])
+        hit_m = (jnp.arange(N)[None, :] == m_id[:, None]) & do_coal[:, None]
+        children = jnp.where(
+            hit_m[:, :, None],
+            jnp.stack([a, b], axis=1)[:, None, :],
+            s["children"],
         )
         time = setm(s["time"], m_id, t_new, do_coal)
         pop = setm(s["pop"], m_id, cpop, do_coal)
@@ -482,11 +514,16 @@ def make_initial_trees(
             node = s["node_id"][rowid, slot]  # [P]
             row_ev = s["mig_time"][rowid, node]  # [P, max_mig]
             cnt = jnp.minimum(jnp.sum(row_ev < INF, axis=1), max_mig - 1)
-            out["mig_time"] = s["mig_time"].at[rowid, node, cnt].set(
-                jnp.where(do_mig, t_new, s["mig_time"][rowid, node, cnt])
+            hit3 = (
+                (jnp.arange(N)[None, :, None] == node[:, None, None])
+                & (jnp.arange(max_mig)[None, None, :] == cnt[:, None, None])
+                & do_mig[:, None, None]
+            )  # [P, N, max_mig]
+            out["mig_time"] = jnp.where(
+                hit3, t_new[:, None, None], s["mig_time"]
             )
-            out["mig_dest"] = s["mig_dest"].at[rowid, node, cnt].set(
-                jnp.where(do_mig, dest, s["mig_dest"][rowid, node, cnt])
+            out["mig_dest"] = jnp.where(
+                hit3, dest[:, None, None], s["mig_dest"]
             )
 
         # --- sample activation at breakpoints ----------------------------

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .kernels.likelihood import site_log_likelihood
-from .kernels.transition import recombination_transition
+from .kernels.transition import _epoch_index, recombination_transition
 from .kernels.tree import (
     INF,
     Epochs,
@@ -67,6 +67,16 @@ def zero_stats(E: int, Pp: int, lead: tuple = ()) -> SuffStats:
         recomb_opp=z(E),
         recomb_cnt=z(E),
     )
+
+
+def _pick_node(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """arr[p, idx[p]] over the node axis as a one-hot reduction (arr
+    [P, N, ...], idx [P]) — batched gathers serialize on TPU."""
+    N = arr.shape[1]
+    oh = (idx[:, None] == jnp.arange(N)[None, :]).reshape(
+        idx.shape[0], N, *([1] * (arr.ndim - 2))
+    )
+    return jnp.sum(jnp.where(oh, arr, jnp.zeros_like(arr)), axis=1)
 
 
 def _bcast_epoch(mask_e: jnp.ndarray, field: jnp.ndarray, lead_dims: int):
@@ -346,25 +356,19 @@ def _push_delayed(df_pos, df_logf, df_delta, df_k, mask, pos, delay, log_iw, kk)
     pilot-weight correction)."""
     from .kernels.tree import INF
 
-    P = df_pos.shape[0]
+    K = df_pos.shape[1]
     free = df_pos >= 0.5 * INF
     has_free = jnp.any(free, axis=1)
     slot = jnp.argmax(free, axis=1)
-    rowid = jnp.arange(P)
     delta = delay / (2.0**kk - 1.0)
     do = mask & has_free
-    df_pos = df_pos.at[rowid, slot].set(
-        jnp.where(do, pos + delta, df_pos[rowid, slot])
-    )
-    df_logf = df_logf.at[rowid, slot].set(
-        jnp.where(do, log_iw / kk, df_logf[rowid, slot])
-    )
-    df_delta = df_delta.at[rowid, slot].set(
-        jnp.where(do, delta, df_delta[rowid, slot])
-    )
-    df_k = df_k.at[rowid, slot].set(
-        jnp.where(do, jnp.int32(kk), df_k[rowid, slot])
-    )
+    # masked select over the slot axis (scatter-free: vmapped/batched
+    # scatters serialize on TPU)
+    hit = (jnp.arange(K)[None, :] == slot[:, None]) & do[:, None]  # [P, K]
+    df_pos = jnp.where(hit, jnp.broadcast_to(pos + delta, do.shape)[:, None], df_pos)
+    df_logf = jnp.where(hit, jnp.broadcast_to(log_iw / kk, do.shape)[:, None], df_logf)
+    df_delta = jnp.where(hit, jnp.broadcast_to(delta, do.shape)[:, None], df_delta)
+    df_k = jnp.where(hit, jnp.int32(kk), df_k)
     overflow_add = jnp.where(mask & ~has_free, log_iw, 0.0)
     return df_pos, df_logf, df_delta, df_k, overflow_add
 
@@ -373,12 +377,17 @@ def _push_arg_event(arg, mask, pos, code, time, from_pop, to_pop, desc, A):
     """Masked ring push of one ARG event per particle (newest-kept ring)."""
     arg_pos, arg_code, arg_time, arg_from, arg_to, arg_desc, arg_n = arg
     P = arg_n.shape[0]
-    rowid = jnp.arange(P)
     slot = arg_n % A
+    hit2 = (jnp.arange(A)[None, :] == slot[:, None]) & mask[:, None]  # [P, A]
+
     def setm(a, v):
-        old = a[rowid, slot]
-        m = mask.reshape((P,) + (1,) * (old.ndim - 1))
-        return a.at[rowid, slot].set(jnp.where(m, v.astype(a.dtype), old))
+        # masked select over the ring axis (scatter-free)
+        m = hit2.reshape(hit2.shape + (1,) * (a.ndim - 2))
+        vb = jnp.broadcast_to(
+            v.astype(a.dtype)[:, None] if a.ndim == 2 else
+            v.astype(a.dtype)[:, None, :], a.shape
+        )
+        return jnp.where(m, vb, a)
     arg_pos = setm(arg_pos, pos)
     arg_code = setm(arg_code, jnp.full((P,), code, jnp.int8))
     arg_time = setm(arg_time, time)
@@ -413,20 +422,16 @@ def _push_local_event(lr, mask, pos, due, height, desc):
     first free ring slot (count.cpp:595-613 event columns; the ring models
     the reference's lagged commit).  Overflow drops the event (counted)."""
     lr_pos, lr_due, lr_time, lr_desc, lr_dropped = lr
-    P = lr_pos.shape[0]
+    R = lr_pos.shape[1]
     free = lr_pos >= 0.5 * INF
     has_free = jnp.any(free, axis=1)
     slot = jnp.argmax(free, axis=1)
-    rowid = jnp.arange(P)
     do = mask & has_free
-    lr_pos = lr_pos.at[rowid, slot].set(jnp.where(do, pos, lr_pos[rowid, slot]))
-    lr_due = lr_due.at[rowid, slot].set(jnp.where(do, due, lr_due[rowid, slot]))
-    lr_time = lr_time.at[rowid, slot].set(
-        jnp.where(do, height, lr_time[rowid, slot])
-    )
-    lr_desc = lr_desc.at[rowid, slot].set(
-        jnp.where(do[:, None], desc, lr_desc[rowid, slot])
-    )
+    hit = (jnp.arange(R)[None, :] == slot[:, None]) & do[:, None]  # [P, R]
+    lr_pos = jnp.where(hit, pos[:, None], lr_pos)
+    lr_due = jnp.where(hit, due[:, None], lr_due)
+    lr_time = jnp.where(hit, height[:, None], lr_time)
+    lr_desc = jnp.where(hit[:, :, None], desc[:, None, :], lr_desc)
     lr_dropped = lr_dropped + jnp.sum(mask & ~has_free).astype(jnp.int32)
     return (lr_pos, lr_due, lr_time, lr_desc, lr_dropped)
 
@@ -747,12 +752,12 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                 imm_log = jnp.where(immediate, rec.log_iw_bias, 0.0)
                 del_log = rec.log_iw - imm_log
                 log_pilot = log_pilot + jnp.where(active, imm_log, 0.0)
-                e_h = jnp.clip(
-                    jnp.searchsorted(epochs.start, rec.recomb_height,
-                                     side="right") - 1,
-                    0, E - 1,
+                e_h = _epoch_index(epochs.start, rec.recomb_height)  # [P]
+                delay = jnp.sum(
+                    jnp.where(e_h[:, None] == jnp.arange(E)[None, :],
+                              delays[None, :], 0.0),
+                    axis=1,
                 )
-                delay = delays[e_h]
                 abs_pos = state.front + next_rec
                 df_pos, df_logf, df_delta, df_k = dfs
                 df_pos, df_logf, df_delta, df_k, ovf = _push_delayed(
@@ -765,9 +770,7 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             if cfg.record_arg:
                 # R + C rows of the .trees event log
                 # (particleContainer.cpp:515-555 format)
-                dc = jnp.take_along_axis(
-                    desc_pre, rec.c_node[:, None, None], axis=1
-                )[:, 0]  # [P, dw]
+                dc = _pick_node(desc_pre, rec.c_node)  # [P, dw]
                 abs_pos = state.front + next_rec
                 arg = _push_arg_event(
                     arg, active, abs_pos, 0, rec.recomb_height,
@@ -795,18 +798,16 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             if record_local:
                 # pending local-recomb event: committed with the lag of the
                 # recombination height's epoch (count.cpp:595-613)
-                dc_l = jnp.take_along_axis(
-                    desc_pre, rec.c_node[:, None, None], axis=1
-                )[:, 0]  # [P, dw]
-                e_hl = jnp.clip(
-                    jnp.searchsorted(
-                        epochs.start, rec.recomb_height, side="right"
-                    ) - 1,
-                    0, E - 1,
+                dc_l = _pick_node(desc_pre, rec.c_node)  # [P, dw]
+                e_hl = _epoch_index(epochs.start, rec.recomb_height)
+                lag_h = jnp.sum(
+                    jnp.where(e_hl[:, None] == jnp.arange(E)[None, :],
+                              lags[None, :], 0.0),
+                    axis=1,
                 )
                 abs_pos_l = state.front + next_rec
                 lr = _push_local_event(
-                    lr, active, abs_pos_l, abs_pos_l + lags[e_hl],
+                    lr, active, abs_pos_l, abs_pos_l + lag_h,
                     rec.recomb_height, dc_l,
                 )
             # refresh tree summaries for particles that changed
@@ -882,11 +883,18 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                     trees, configs[0], mu, cfg.ancestral_aware
                 )
             else:
-                per_cfg = jax.vmap(
-                    lambda al: site_log_likelihood(
-                        trees, al, mu, cfg.ancestral_aware
-                    )
-                )(configs)  # [C, P]
+                # static Python loop over phase configurations (C <= 8): a
+                # vmap here would wrap the likelihood's while_loop, and
+                # vmapped while lane-masking miscompiles at P >= 1024 on
+                # some TPU runtimes (see make_initial_trees)
+                per_cfg = jnp.stack(
+                    [
+                        site_log_likelihood(
+                            trees, configs[i], mu, cfg.ancestral_aware
+                        )
+                        for i in range(C)
+                    ]
+                )  # [C, P]
                 mask = (jnp.arange(C) < n_configs)[:, None]
                 ll = jax.scipy.special.logsumexp(
                     jnp.where(mask, per_cfg, -jnp.inf), axis=0
