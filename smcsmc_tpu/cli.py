@@ -55,7 +55,7 @@ def parse_smc2_args(argv: list[str]):
         "arg": False,
         "mu": None,
         "rho": None,
-        "N0": 10000.0,
+        "N0": None,  # default: Watterson θ̂/(4μ) (model.py:705-711)
         "nsam": None,
         "calibrate_lag": 2.0,
         "alpha": 0.0,
@@ -90,7 +90,6 @@ def parse_smc2_args(argv: list[str]):
             io["pattern"] = take(3)
         elif o == "-N0":
             io["N0"] = float(take())
-            demo_args += ["-N0", str(io["N0"])]
         elif o == "-mu":
             io["mu"] = float(take())
         elif o == "-rho":
@@ -147,6 +146,10 @@ def parse_smc2_args(argv: list[str]):
             # process-level chunk parallelism, execute.py:26-105; 0 = one
             # worker per local device)
             cfg.chunk_workers = int(take())
+        elif o == "-nothreads":
+            # serialize chunk sweeps (model.py:1094-1100)
+            cfg.chunk_workers = 1
+            i += 1
         elif o == "-maxgap":
             io["maxgap"] = int(float(take()))
         elif o == "-minseg":
@@ -261,13 +264,70 @@ Core options (reference parity: smcsmc/model.py, src/pfparam.cpp):
     )
 
 
+TIMED_FLAGS = ("-eI", "-ej", "-eM", "-ema", "-em", "-eN", "-en")
+
+
+def _split_timed_opts(args: list[str]):
+    """Partition flat scrm args into timed options [(time, [flag, t, ...])]
+    and the remainder (reference set_pattern, model.py:483-491)."""
+    timed, remain = [], []
+    i = 0
+    while i < len(args):
+        o = args[i]
+        grp = [o]
+        i += 1
+        while i < len(args) and not (
+            args[i].startswith("-") and not _is_number(args[i])
+        ):
+            grp.append(args[i])
+            i += 1
+        if o in TIMED_FLAGS:
+            timed.append((float(grp[1]), grp))
+        else:
+            remain += grp
+    return timed, remain
+
+
+def _is_number(tok: str) -> bool:
+    try:
+        float(tok)
+        return True
+    except ValueError:
+        return False
+
+
+def resolve_n0(io, seg=None):
+    """Default N0 = Watterson θ̂ / (4 μ) when -N0 is absent
+    (reference model.py:705-711; θ̂ from model.py:567-621)."""
+    if io["N0"] is not None:
+        return io["N0"]
+    if io["mu"] is not None and seg is not None:
+        from .segio import watterson_estimate
+
+        theta_w = watterson_estimate(
+            seg, startpos=io.get("startpos"), length=io.get("length")
+        )
+        if theta_w > 0:
+            n0 = theta_w / (4.0 * io["mu"])
+            logger.info(
+                "Setting N0 from mutation rate and Watterson's estimate "
+                "of theta (%.4g): N0 = %.1f", theta_w, n0,
+            )
+            io["N0"] = n0
+            return n0
+    raise SystemExit(
+        "smc2: N0 required -- use -N0, or (implicitly) -mu with seg data"
+    )
+
+
 def build_demography(cfg, demo_args, io, seg=None):
-    """Assemble the Demography from flags (+ -P pattern rewriting,
-    model.py:470-536; Watterson default N0, model.py:563-662)."""
-    from .demography import parse_scrm_args, watterson_theta
+    """Assemble the Demography from flags (+ -P pattern rewriting of ALL
+    timed options onto the log-spaced epoch grid, model.py:470-536;
+    Watterson default N0, model.py:705-711)."""
+    from .demography import parse_scrm_args
     from .pattern import smc2_pattern_times
 
-    n0 = io["N0"]
+    n0 = resolve_n0(io, seg)
     args = list(demo_args)
     # translate -mu/-rho/-length into -t / -r
     L = io["length"]
@@ -285,13 +345,35 @@ def build_demography(cfg, demo_args, io, seg=None):
         args += ["-nsam", str(seg.num_samples)]
 
     if io["pattern"] is not None:
+        # -P start end pattern (model.py:470-536 set_pattern): generate the
+        # log-spaced epoch grid, re-emit user -eN sizes carried forward onto
+        # grid times, and snap every other timed option's time to the
+        # largest grid time <= its own.  User -eN rows are consumed; -en
+        # rows are left as-is (reference note: best not combined with -P).
         start, end, patt = io["pattern"]
         times = smc2_pattern_times(float(start), float(end), patt, n0=n0)
-        # rewrite as -eN commands at the pattern times (constant size 1.0
-        # start; the EM sweep re-estimates them)
+        timed, remain = _split_timed_opts(args)
+        new_timed = []
         for t in times:
-            if t > 0:
-                args += ["-eN", str(t), "1.0"]
+            # last user -eN with time <= t sets the size (default 1.0)
+            size = "1.0"
+            best = -1.0
+            for ut, grp in timed:
+                if grp[0] == "-eN" and ut <= t and ut >= best:
+                    best, size = ut, grp[2]
+            new_timed.append((t, ["-eN", str(t), size]))
+        for ut, grp in timed:
+            if grp[0] == "-eN":
+                continue
+            below = [t for t in times if t <= ut]
+            newtime = below[-1] if below else times[0]
+            new_timed.append((newtime, [grp[0], str(newtime)] + grp[2:]))
+        new_timed.sort(key=lambda x: x[0])
+        args = remain + [tok for _, grp in new_timed for tok in grp]
+        logger.info(
+            "Population structure options after -P: %s",
+            " ".join(" ".join(grp) for _, grp in new_timed),
+        )
 
     demo = parse_scrm_args(args, n0=n0)
     if L is not None:
@@ -347,6 +429,13 @@ def smcsmc_main(argv=None):
     from .segio import merge_segs, read_seg
 
     enable_compilation_cache()
+    if os.environ.get("SMCSMC_DEBUG_NANS"):
+        # debug analogue of the reference's FP-exception traps
+        # (smcsmc.cpp:52-54 feenableexcept): raise at the first NaN-producing
+        # op instead of at the per-block finite check
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     if argv is None:
         argv = sys.argv[1:]
@@ -375,6 +464,13 @@ def smcsmc_main(argv=None):
         hs = [h * 4 * io["N0"] for h in io["bias_heights"] if h > 0]
         cfg.bias_heights = tuple(hs)
     cfg.outdir = io["out"]
+    # chunk-window controls (model.py:563-662; pfparam.cpp -startpos)
+    cfg.maxgap = io["maxgap"]
+    cfg.minseg = io["minseg"]
+    if io["startpos"] > 1:
+        cfg.startpos = float(io["startpos"])
+    if io["length"] is not None:
+        cfg.length = float(io["length"])
     result = run_em(demo, seg, cfg)
     logger.info("final log-likelihoods: %s", result.log_likelihoods)
     print(f"Results written to {io['out']}/result.out")

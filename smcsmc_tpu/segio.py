@@ -314,12 +314,38 @@ def define_chunks(
     num_chunks: int,
     maxgap: int = 200000,
     minseg: int = 500000,
+    startpos: float | None = None,
+    length: float | None = None,
 ) -> list[Chunk]:
     """Split the genome into chunks for parallel inference (reference:
-    model.py:563-662, ``define_chunks``): first split at gaps (all-missing
-    stretches) longer than ``maxgap``; drop pieces shorter than ``minseg``;
-    then split the largest pieces until there are ``num_chunks``.
+    model.py:563-662, ``define_chunks``): restrict to the window
+    ``[startpos, startpos + length)`` (pfparam.cpp -startpos), split at gaps
+    (all-missing stretches) longer than ``maxgap``, drop pieces shorter
+    than ``minseg``, then split the largest pieces until there are
+    ``num_chunks``.
     """
+    if startpos is not None or length is not None:
+        w0 = int(startpos) if startpos is not None else int(seg.positions[0])
+        w1 = (
+            int(w0 + length)
+            if length is not None
+            else int(seg.positions[-1] + seg.lengths[-1])
+        )
+        seg = slice_seg(seg, w0, w1)
+        if seg.num_segments == 0:
+            raise SegError(
+                f"window [{w0}, {w1}) contains no data "
+                "(reference: 'No segments left - nothing to do...')"
+            )
+        # clip the boundary segments to the window
+        seg = SegData(
+            positions=np.maximum(seg.positions, w0),
+            lengths=np.minimum(seg.positions + seg.lengths, w1)
+            - np.maximum(seg.positions, w0),
+            states=seg.states,
+            alleles=seg.alleles,
+            phased=seg.phased,
+        )
     # find gaps: runs of segments where all alleles are missing
     missing = np.all(seg.alleles == -1, axis=1)
     pieces: list[Chunk] = []
@@ -353,6 +379,46 @@ def define_chunks(
         pieces += [Chunk(big.start, mid), Chunk(mid, big.end)]
     pieces.sort(key=lambda c: c.start)
     return pieces[:num_chunks] if len(pieces) > num_chunks else pieces
+
+
+def watterson_estimate(
+    seg: SegData,
+    startpos: float | None = None,
+    length: float | None = None,
+) -> float:
+    """Missingness-aware Watterson θ̂ per nt over the inference window
+    (reference: model.py:567-621 inside define_chunks):
+
+        θ̂ = segregating_sites / Σ_segments size · H(k−1)
+
+    with k the number of non-missing alleles in the segment and H the
+    harmonic number.  Used for the default N0 = θ̂ / (4 μ) when -N0 is not
+    given (model.py:705-711)."""
+    pos = seg.positions.astype(np.float64)
+    ln = seg.lengths.astype(np.float64)
+    if startpos is not None:
+        keep = pos + ln >= startpos
+        pos, ln = pos[keep], ln[keep]
+        al = seg.alleles[keep]
+    else:
+        al = seg.alleles
+    if length is not None and startpos is not None:
+        keep = pos <= startpos + length
+        pos, ln, al = pos[keep], ln[keep], al[keep]
+    n = al.shape[1]
+    non_missing = np.sum(al >= 0, axis=1)
+    informative = non_missing > 0
+    harmonic = np.concatenate(
+        [[0.0], np.cumsum(1.0 / np.arange(1, max(n, 1) + 1))]
+    )  # harmonic[k] = H(k)
+    weighted_length = 1e-10 + float(
+        np.sum(ln[informative]
+               * harmonic[np.maximum(non_missing[informative] - 1, 0)])
+    )
+    segregating = int(
+        np.sum(np.any(al == 0, axis=1) & np.any(al == 1, axis=1))
+    )
+    return segregating / weighted_length
 
 
 def split_long_segments(seg: SegData, max_segment_length: float) -> SegData:

@@ -566,7 +566,7 @@ def flush_pending(state: PFState, window_size: float = 100.0) -> PFState:
 
 def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                       bias_heights=None, bias_strengths=None, delays=None,
-                      tblq=None, guide=None, vb_tables=None):
+                      tblq=None, guide=None, vb_tables=None, rec_masks=None):
     """Build the per-segment scan body.
 
     ``epochs``, ``mutation_rate``, ``rho`` and ``lags`` may be traced values
@@ -598,6 +598,13 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
     rho = jnp.float32(rho)
     record_local = cfg.num_windows > 0
     ws = float(cfg.window_size)
+    # recording-time epoch exclusion masks (-xc / -xr): the reference gates
+    # event RECORDING per epoch via record_event_in_epoch
+    # (pfparam.cpp:82-99), not just the M-step aggregate
+    if rec_masks is None:
+        xc_mask = xr_mask = jnp.ones((E,), jnp.float32)
+    else:
+        xc_mask, xr_mask = rec_masks
 
     if cfg.use_guide:
         g_rate, g_leaf = guide
@@ -737,9 +744,14 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                 # (particle.cpp:266-272 adjustWeights(exp_digamma(C)/C));
                 # rec.*_cnt are already zero for inactive particles
                 vb_coal, vb_mig = vb_tables
+                # -xc epochs record no events, so no VB factor either
                 vb_adj = jnp.sum(
-                    rec.coal_cnt * vb_coal[None], axis=(1, 2)
-                ) + jnp.sum(rec.mig_cnt * vb_mig[None], axis=(1, 2, 3))
+                    rec.coal_cnt * (vb_coal * xc_mask[:, None])[None],
+                    axis=(1, 2),
+                ) + jnp.sum(
+                    rec.mig_cnt * (vb_mig * xc_mask[:, None, None])[None],
+                    axis=(1, 2, 3),
+                )
                 log_w = log_w + vb_adj
                 log_pilot = log_pilot + vb_adj
             if cfg.use_bias or cfg.use_guide:
@@ -911,13 +923,21 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
         # without an informative site ahead, epochs whose lag is shorter than
         # 2x the distance would commit their events before any data could
         # weigh them — suppress recording there (scale_factor 0.5)
-        rec_e = (dist_mut < 0.5 * lags).astype(jnp.float32)  # [E]
+        gate_e = (dist_mut < 0.5 * lags).astype(jnp.float32)  # [E]
+        # -xc masks coal+migration recording, -xr masks recombination
+        # recording (record_event_in_epoch, pfparam.cpp:82-99)
+        mask_by_field = SuffStats(
+            coal_opp=gate_e * xc_mask, coal_cnt=gate_e * xc_mask,
+            mig_opp=gate_e * xc_mask, mig_cnt=gate_e * xc_mask,
+            recomb_opp=gate_e * xr_mask, recomb_cnt=gate_e * xr_mask,
+        )
         fifo = jax.tree_util.tree_map(
-            lambda f, p: f.at[:, 0].add(
-                p * rec_e.reshape((1, rec_e.shape[0]) + (1,) * (p.ndim - 2))
+            lambda f, p, m: f.at[:, 0].add(
+                p * m.reshape((1, m.shape[0]) + (1,) * (p.ndim - 2))
             ),
             state.fifo,
             pending,
+            mask_by_field,
         )
 
         # ---- normalize ----------------------------------------------------
@@ -1029,7 +1049,10 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
 
         need = (ess < cfg.ess_threshold * P) & (seg_len > 0)
         state = jax.lax.cond(need, do_resample, lambda s: s, state)
-        return state, ess
+        # per-segment trace: ESS, whether a resample fired, and the genome
+        # position — the .resample contract wants (position, ESS) at each
+        # resample event (pfparam.cpp:530-538)
+        return state, (ess, need, front)
 
     return step
 
@@ -1046,10 +1069,10 @@ def run_block(state: PFState, step_fn, seg_block) -> tuple[PFState, jnp.ndarray]
 @partial(jax.jit, static_argnums=(0,))
 def _sweep_jit(cfg: PFConfig, state: PFState, seg_block, epochs: Epochs,
                mutation_rate, rho, lags, bias_heights, bias_strengths, delays,
-               tblq, guide, vb_tables):
+               tblq, guide, vb_tables, rec_masks):
     step = make_segment_step(cfg, epochs, mutation_rate, rho, lags,
                              bias_heights, bias_strengths, delays, tblq,
-                             guide, vb_tables)
+                             guide, vb_tables, rec_masks)
     return jax.lax.scan(step, state, seg_block)
 
 
@@ -1060,7 +1083,7 @@ def build_sweep(cfg: PFConfig):
 
     def sweep(state, seg_block, epochs, mutation_rate, rho, lags,
               bias_heights=None, bias_strengths=None, delays=None, tblq=None,
-              guide=None, vb_tables=None):
+              guide=None, vb_tables=None, rec_masks=None):
         if cfg.use_bias:
             bias_heights = jnp.asarray(bias_heights, jnp.float32)
             bias_strengths = jnp.asarray(bias_strengths, jnp.float32)
@@ -1076,11 +1099,13 @@ def build_sweep(cfg: PFConfig):
             vb_tables = tuple(jnp.asarray(v, jnp.float32) for v in vb_tables)
         else:
             vb_tables = None
+        if rec_masks is not None:
+            rec_masks = tuple(jnp.asarray(m, jnp.float32) for m in rec_masks)
         return _sweep_jit(cfg, state, seg_block, epochs,
                           jnp.float32(mutation_rate), jnp.float32(rho),
                           jnp.asarray(lags, jnp.float32),
                           bias_heights, bias_strengths, delays, tblq, guide,
-                          vb_tables)
+                          vb_tables, rec_masks)
 
     return sweep
 

@@ -52,7 +52,7 @@ def _run_sweep(cfg, epochs, demo, blocks, mesh=None):
     sweep = build_sweep(cfg)
     ess_all = []
     for block in blocks:
-        state, ess = sweep(
+        state, (ess, _, _) = sweep(
             state, block, epochs, demo.mutation_rate, rho, lags
         )
         ess_all.append(np.asarray(ess))
