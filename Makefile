@@ -20,4 +20,9 @@ test-all:
 bench:
 	python bench.py
 
-.PHONY: test test-all bench native
+# TPU smoke tier: ONE serial pytest job against the real device (run after
+# any TPU-touching change; the tunnel is single-client).
+tpu-smoke:
+	env PYTHONPATH=$(CURDIR):$(PYTHONPATH) SMCSMC_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py -x -q
+
+.PHONY: test test-all bench native tpu-smoke

@@ -30,6 +30,7 @@ from .smc import (
     default_lags,
     flush_pending,
     init_state,
+    unpack_stats,
 )
 
 
@@ -482,7 +483,9 @@ def run_chunk(
             # no recompilation happens.
             cur_stats = jax.tree_util.tree_map(
                 lambda x, p: np.asarray(x, dtype=np.float64) + p,
-                state.stats, prior_pseudostats(cur_demo),
+                unpack_stats(np.asarray(state.stats),
+                             cur_demo.num_epochs, cur_demo.num_populations),
+                prior_pseudostats(cur_demo),
             )
             cur_demo = m_step(cur_demo, cur_stats, cfg)
             epochs = epochs_from_demography(cur_demo)
@@ -500,12 +503,15 @@ def run_chunk(
         shutil.rmtree(ckpt_path, ignore_errors=True)
 
     pseudo = prior_pseudostats(demo)
+    E_, Pp_ = demo.num_epochs, demo.num_populations
     stats = jax.tree_util.tree_map(
-        lambda x, p: np.asarray(x, dtype=np.float64) + p, state.stats, pseudo
+        lambda x, p: np.asarray(x, dtype=np.float64) + p,
+        unpack_stats(np.asarray(state.stats), E_, Pp_), pseudo,
     )
     ones = jax.tree_util.tree_map(np.ones_like, pseudo)
     stats_wt = jax.tree_util.tree_map(
-        lambda x, p: np.asarray(x, dtype=np.float64) + p, state.stats_wt, ones
+        lambda x, p: np.asarray(x, dtype=np.float64) + p,
+        unpack_stats(np.asarray(state.stats_wt), E_, Pp_), ones,
     )
     logl = float(state.ln_norm)
     diag = {

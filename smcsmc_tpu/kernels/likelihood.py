@@ -90,7 +90,8 @@ def site_log_likelihood(
     """[P] per-particle site log-likelihood (particle.cpp:667-680), exact in
     log space via per-node rescaling — no underflow floor at large n (the
     reference computes in double; raw f32 products underflow at n >= ~24)."""
-    time, children, parent = trees.time, trees.children, trees.parent
+    time, parent = trees.time, trees.parent
+    c0, c1 = trees.child0, trees.child1
     P, N = time.shape
     n = (N + 1) // 2
     mu = jnp.float32(mutation_rate)
@@ -107,12 +108,10 @@ def site_log_likelihood(
          jnp.concatenate([l1, jnp.zeros(n - 1)])], axis=1
     )  # [N, 2]
     partial = jnp.broadcast_to(leaf_part[None], (P, N, 2))
-    is_leaf = children[:, :, 0] < 0  # [P, N]
+    is_leaf = c0 < 0  # [P, N]
     ready = is_leaf
     eq = jnp.arange(N)
 
-    c0 = children[:, :, 0]  # [P, N]
-    c1 = children[:, :, 1]
     oh0 = c0[:, :, None] == eq[None, None, :]  # [P, N, N]
     oh1 = c1[:, :, None] == eq[None, None, :]
     t0 = time - jnp.sum(jnp.where(oh0, time[:, None, :], 0.0), axis=2)
@@ -120,12 +119,8 @@ def site_log_likelihood(
     p0 = jnp.exp(-t0 * mu)  # [P, N] no-mutation prob on each child branch
     p1 = jnp.exp(-t1 * mu)
 
-    def cond(s):
-        _, _, ready, it = s
-        return jnp.any(~ready) & (it < n)
-
-    def body(s):
-        partial, acc, ready, it = s
+    def combine_pass(s):
+        partial, acc, ready = s
         a0 = jnp.sum(
             jnp.where(oh0[:, :, :, None], partial[:, None, :, :], 0.0), axis=2
         )  # [P, N, 2]
@@ -143,11 +138,27 @@ def site_log_likelihood(
             can[:, :, None], val / sc[:, :, None], partial
         )
         acc = acc + jnp.sum(jnp.where(can, jnp.log(sc), 0.0), axis=1)
-        return partial, acc, ready | can, it + 1
+        return partial, acc, ready | can
 
-    partial, acc, _, _ = jax.lax.while_loop(
-        cond, body, (partial, jnp.zeros((P,)), ready, jnp.int32(0))
-    )
+    s = (partial, jnp.zeros((P,)), ready)
+    if n <= 8:
+        # static unroll: n-1 passes, no data-dependent loop condition (the
+        # per-pass reduce for the cond costs more than the spare passes)
+        for _ in range(n - 1):
+            s = combine_pass(s)
+        partial, acc, _ = s
+    else:
+        def cond(sit):
+            (_, _, ready), it = sit
+            return jnp.any(~ready) & (it < n)
+
+        def body(sit):
+            s, it = sit
+            return combine_pass(s), it + 1
+
+        (partial, acc, _), _ = jax.lax.while_loop(
+            cond, body, (s, jnp.int32(0))
+        )
     root_part = jnp.sum(
         jnp.where((parent < 0)[:, :, None], partial, 0.0), axis=1
     )  # [P, 2]

@@ -63,6 +63,7 @@ class TransitionRecord(NamedTuple):
     log_iw_bias: jnp.ndarray  # scalar: height-bias-only part of log_iw
     point_strength: jnp.ndarray  # bias strength at the sampled point
     c_node: jnp.ndarray  # recombining node (for ARG recording)
+    d_node: jnp.ndarray  # coalescence target node (ARG C-row descendants)
     coal_pop: jnp.ndarray  # population of the coalescence
     walk_capped: jnp.ndarray  # scalar: 1 if the migration walk hit its bound
     buf_dropped: jnp.ndarray  # scalar: migration events dropped on overflow
@@ -112,7 +113,8 @@ def _sample_recomb_point(key, tree_time, tree_parent):
 def guide_branch_rates(
     tree_time: jnp.ndarray,
     tree_parent: jnp.ndarray,
-    tree_children: jnp.ndarray,
+    tree_child0: jnp.ndarray,
+    tree_child1: jnp.ndarray,
     leaf_rates: jnp.ndarray,
 ) -> jnp.ndarray:
     """[N] relative guide rate on the branch above each node, built bottom-up
@@ -127,7 +129,8 @@ def guide_branch_rates(
     eq = jnp.arange(N)
 
     def up(r, v):
-        c0, c1 = tree_children[v, 0], tree_children[v, 1]
+        c0 = jnp.sum(jnp.where(eq == v, tree_child0, 0))
+        c1 = jnp.sum(jnp.where(eq == v, tree_child1, 0))
         return jnp.where(eq == v, 0.5 * (r[c0] + r[c1]), r), None
 
     if n <= 8:
@@ -136,8 +139,8 @@ def guide_branch_rates(
     else:
         r, _ = jax.lax.scan(up, r, order)
     root = order[n - 2] if n > 1 else jnp.int32(0)
-    rc0 = tree_children[root, 0]
-    rc1 = tree_children[root, 1]
+    rc0 = jnp.sum(jnp.where(eq == root, tree_child0, 0))
+    rc1 = jnp.sum(jnp.where(eq == root, tree_child1, 0))
     mx = jnp.maximum(r[rc0], r[rc1])
     r = jnp.where((eq == rc0) | (eq == rc1), mx, r)
     return r
@@ -547,13 +550,12 @@ def _walk_mig_batched(
 # ---------------------------------------------------------------------------
 
 
-def _replace_in_row(children, node, old, new, N):
-    """children[node][slot == old] = new, guarded for node < 0.
-
-    Masked select instead of ``.at[idx].set``: under vmap the scatter
-    serializes on TPU, while this compiles to fused elementwise ops."""
-    hit = (jnp.arange(N) == node)[:, None] & (children == old)
-    return jnp.where(hit & (node >= 0), new, children)
+def _replace_in_row(child_arr, node, old, new, N):
+    """child_arr[node] == old -> new (one child array [N]), guarded for
+    node < 0.  Masked select instead of ``.at[idx].set``: under vmap the
+    scatter serializes on TPU."""
+    hit = (jnp.arange(N) == node) & (child_arr == old)
+    return jnp.where(hit & (node >= 0), new, child_arr)
 
 
 def _set_at(arr, i, v):
@@ -601,7 +603,7 @@ def _merge_events_hold(t1, d1, t2, d2, M):
 
 
 def _apply_spr(
-    parent, time, pop, children, mig_time, mig_dest, c, d, t_c, fpop_c,
+    parent, time, pop, child0, child1, mig_time, mig_dest, c, d, t_c, fpop_c,
     new_ev_t, new_ev_d, h_r, root_ev_t=None, root_ev_d=None,
 ):
     """Constant-time SPR on the index arrays (+ migration-buffer routing).
@@ -609,8 +611,10 @@ def _apply_spr(
     TPU."""
     N = parent.shape[0]
     p = _oh_pick(parent, c)  # c is never the root (its branch has length 0)
-    sib = _oh_pick(children, jnp.clip(p, 0, N - 1))
-    o = jnp.where(sib[0] == c, sib[1], sib[0])
+    pc = jnp.clip(p, 0, N - 1)
+    sib0 = _oh_pick(child0, pc)
+    sib1 = _oh_pick(child1, pc)
+    o = jnp.where(sib0 == c, sib1, sib0)
     g = _oh_pick(parent, jnp.clip(p, 0, N - 1))
     noop = d == c
     d_eff = jnp.where(d == p, o, d)
@@ -618,13 +622,14 @@ def _apply_spr(
 
     # splice o up to g
     new_parent = _set_at(parent, o, g)
-    new_children = _replace_in_row(children, g, p, o, N)
+    new_c0 = _replace_in_row(child0, g, p, o, N)
+    new_c1 = _replace_in_row(child1, g, p, o, N)
     # insert node q (reusing slot p) on the branch above d_eff
     new_parent = _set_at(_set_at(new_parent, d_eff, p), p, gp)
-    new_children = jnp.where(
-        (jnp.arange(N) == p)[:, None], jnp.stack([c, d_eff]), new_children
-    )
-    new_children = _replace_in_row(new_children, gp, d_eff, p, N)
+    new_c0 = _set_at(new_c0, p, c)
+    new_c1 = _set_at(new_c1, p, d_eff)
+    new_c0 = _replace_in_row(new_c0, gp, d_eff, p, N)
+    new_c1 = _replace_in_row(new_c1, gp, d_eff, p, N)
     new_time = _set_at(time, p, t_c)
     new_pop = _set_at(pop, p, fpop_c)
 
@@ -694,7 +699,8 @@ def _apply_spr(
     parent_f = jnp.where(noop, parent, new_parent)
     time_f = jnp.where(noop, time, new_time)
     pop_f = jnp.where(noop, noop_pop, new_pop)
-    children_f = jnp.where(noop, children, new_children)
+    child0_f = jnp.where(noop, child0, new_c0)
+    child1_f = jnp.where(noop, child1, new_c1)
     if mig_time is not None:
         # prune the root's ancestral-lineage events: the path above the root
         # is re-simulated fresh by every walk (memoryless), so storing it
@@ -703,7 +709,8 @@ def _apply_spr(
         root_row = (jnp.arange(N) == root_f)[:, None]
         mig_time_f = jnp.where(root_row, INF, mig_time_f)
         mig_dest_f = jnp.where(root_row, 0, mig_dest_f)
-    return parent_f, time_f, pop_f, children_f, mig_time_f, mig_dest_f, n_drop
+    return (parent_f, time_f, pop_f, child0_f, child1_f, mig_time_f,
+            mig_dest_f, n_drop)
 
 
 # ---------------------------------------------------------------------------
@@ -735,9 +742,8 @@ def recombination_transition(
     """
     has_mig_arrays = trees.mig_time is not None
     E = epochs.num_epochs
-    parent, time, pop, children = (
-        trees.parent, trees.time, trees.pop, trees.children,
-    )
+    parent, time, pop = trees.parent, trees.time, trees.pop
+    child0, child1 = trees.child0, trees.child1
 
     split = jax.vmap(lambda k: jax.random.split(k))(keys)  # [P, 2, 2]
     k_rec, k_walk = split[:, 0], split[:, 1]
@@ -749,9 +755,9 @@ def recombination_transition(
             bias_heights = jnp.asarray([0.0, INF], jnp.float32)
             bias_strengths = jnp.asarray([1.0], jnp.float32)
 
-        def point_one(k, t, p, ch, lrates):
+        def point_one(k, t, p, ch0, ch1, lrates):
             br = (
-                guide_branch_rates(t, p, ch, lrates)
+                guide_branch_rates(t, p, ch0, ch1, lrates)
                 if lrates is not None
                 else None
             )
@@ -761,8 +767,8 @@ def recombination_transition(
 
         lr_ax = None if leaf_rates is None else 0
         c, h_r, log_iw, strength, log_iw_bias = jax.vmap(
-            point_one, in_axes=(0, 0, 0, 0, lr_ax)
-        )(k_rec, time, parent, children, leaf_rates)
+            point_one, in_axes=(0, 0, 0, 0, 0, lr_ax)
+        )(k_rec, time, parent, child0, child1, leaf_rates)
     else:
         c, h_r = jax.vmap(_sample_recomb_point)(k_rec, time, parent)
         log_iw = jnp.zeros((c.shape[0],))
@@ -801,29 +807,31 @@ def recombination_transition(
 
     # --- 3. the SPR topology update --------------------------------------
     if has_mig_arrays:
-        spr_in = (parent, time, pop, children, trees.mig_time,
+        spr_in = (parent, time, pop, child0, child1, trees.mig_time,
                   trees.mig_dest, c, d, t_c, fpop_c, ev_t, ev_d, h_r)
         if rev_t is not None:
-            pf, tf, popf, cf, mtf, mdf, n_drop = jax.vmap(_apply_spr)(
+            pf, tf, popf, c0f, c1f, mtf, mdf, n_drop = jax.vmap(_apply_spr)(
                 *spr_in, rev_t, rev_d
             )
         else:
-            pf, tf, popf, cf, mtf, mdf, n_drop = jax.vmap(
+            pf, tf, popf, c0f, c1f, mtf, mdf, n_drop = jax.vmap(
                 lambda *a: _apply_spr(*a, None, None)
             )(*spr_in)
     else:
-        pf, tf, popf, cf, mtf, mdf, n_drop = jax.vmap(
-            lambda p, t, po, ch, cc, dd, tc, fp, hh: _apply_spr(
-                p, t, po, ch, None, None, cc, dd, tc, fp, None, None, hh
+        pf, tf, popf, c0f, c1f, mtf, mdf, n_drop = jax.vmap(
+            lambda p, t, po, ch0, ch1, cc, dd, tc, fp, hh: _apply_spr(
+                p, t, po, ch0, ch1, None, None, cc, dd, tc, fp, None, None,
+                hh,
             )
-        )(parent, time, pop, children, c, d, t_c, fpop_c, h_r)
+        )(parent, time, pop, child0, child1, c, d, t_c, fpop_c, h_r)
 
     # --- 4. masking + the statistic record --------------------------------
     act = active
     pf = jnp.where(act[:, None], pf, parent)
     tf = jnp.where(act[:, None], tf, time)
     popf = jnp.where(act[:, None], popf, pop)
-    cf = jnp.where(act[:, None, None], cf, children)
+    c0f = jnp.where(act[:, None], c0f, child0)
+    c1f = jnp.where(act[:, None], c1f, child1)
     if mtf is not None:
         mtf = jnp.where(act[:, None, None], mtf, trees.mig_time)
         mdf = jnp.where(act[:, None, None], mdf, trees.mig_dest)
@@ -842,6 +850,7 @@ def recombination_transition(
         log_iw_bias=log_iw_bias,
         point_strength=strength,
         c_node=c,
+        d_node=d,
         coal_pop=fpop_c,
         walk_capped=walk_capped,
         buf_dropped=n_drop.astype(jnp.float32),
@@ -857,7 +866,7 @@ def recombination_transition(
     )
     return (
         Trees(
-            parent=pf, time=tf, pop=popf, children=cf,
+            parent=pf, time=tf, pop=popf, child0=c0f, child1=c1f,
             mig_time=mtf, mig_dest=mdf,
         ),
         rec,

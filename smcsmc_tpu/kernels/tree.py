@@ -29,7 +29,12 @@ class Trees(NamedTuple):
     parent   : [P, N] i32 — parent index, -1 at root
     time     : [P, N] f32 — node height (generations)
     pop      : [P, N] i32 — population of the lineage at the node's own time
-    children : [P, N, 2] i32 — child indices, -1 for leaves
+    child0   : [P, N] i32 — first-child index, -1 for leaves
+    child1   : [P, N] i32 — second-child index, -1 for leaves
+               (two flat arrays, NOT one [P, N, 2] tensor: a trailing dim of
+               2 forces XLA into T(2,128) tilings that disagree across the
+               while/cond program regions, costing a 100 µs layout-change
+               copy per segment in the sweep)
     mig_time : [P, N, M] f32 — migration-event times on the branch above each
                node, ascending, INF-padded (None for migration-free models)
     mig_dest : [P, N, M] i32 — destination population of each event
@@ -40,9 +45,15 @@ class Trees(NamedTuple):
     parent: jnp.ndarray
     time: jnp.ndarray
     pop: jnp.ndarray
-    children: jnp.ndarray
+    child0: jnp.ndarray
+    child1: jnp.ndarray
     mig_time: jnp.ndarray = None
     mig_dest: jnp.ndarray = None
+
+    @property
+    def children(self) -> jnp.ndarray:
+        """[..., N, 2] stacked view (compatibility accessor; cold paths)."""
+        return jnp.stack([self.child0, self.child1], axis=-1)
 
     @property
     def num_nodes(self) -> int:
@@ -220,7 +231,7 @@ def leaf_ancestor_ids(tree_parent: jnp.ndarray) -> jnp.ndarray:
 
 
 def count_data_leaves_below(
-    tree_children: jnp.ndarray,
+    tree_children,  # unused (kept for call-site compatibility)
     tree_time: jnp.ndarray,
     has_data: jnp.ndarray,
     tree_parent: jnp.ndarray = None,
@@ -258,7 +269,7 @@ def data_branch_length(
 
 
 def descendant_bitmask(
-    tree_children: jnp.ndarray,
+    tree_children,  # unused (kept for call-site compatibility)
     tree_time: jnp.ndarray,
     tree_parent: jnp.ndarray = None,
 ) -> jnp.ndarray:
@@ -279,7 +290,7 @@ def descendant_bitmask(
 
 
 def descendant_bitmask64(
-    tree_children: jnp.ndarray,
+    tree_children,  # unused (kept for call-site compatibility)
     tree_time: jnp.ndarray,
     tree_parent: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -382,7 +393,8 @@ def make_initial_trees(
         pop=jnp.broadcast_to(
             jnp.concatenate([sample_pop, jnp.zeros(n - 1, jnp.int32)]), (P, N)
         ),
-        children=jnp.full((P, N, 2), NO_NODE, dtype=jnp.int32),
+        child0=jnp.full((P, N), NO_NODE, dtype=jnp.int32),
+        child1=jnp.full((P, N), NO_NODE, dtype=jnp.int32),
         # slot arrays over leaves+merges: node id / alive / current raw pop
         node_id=jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (P, n)),
         alive=jnp.broadcast_to(sample_time <= 0.0, (P, n)),
@@ -473,11 +485,8 @@ def make_initial_trees(
         parent = setm(s["parent"], a, m_id, do_coal)
         parent = setm(parent, b, m_id, do_coal)
         hit_m = (jnp.arange(N)[None, :] == m_id[:, None]) & do_coal[:, None]
-        children = jnp.where(
-            hit_m[:, :, None],
-            jnp.stack([a, b], axis=1)[:, None, :],
-            s["children"],
-        )
+        child0 = jnp.where(hit_m, a[:, None], s["child0"])
+        child1 = jnp.where(hit_m, b[:, None], s["child1"])
         time = setm(s["time"], m_id, t_new, do_coal)
         pop = setm(s["pop"], m_id, cpop, do_coal)
         node_id = setm(s["node_id"], slot1, m_id, do_coal)
@@ -502,7 +511,8 @@ def make_initial_trees(
             parent=parent,
             time=time,
             pop=pop,
-            children=children,
+            child0=child0,
+            child1=child1,
             node_id=node_id,
             alive=alive,
             cur_pop=cur_pop,
@@ -540,7 +550,8 @@ def make_initial_trees(
         parent=s["parent"],
         time=s["time"],
         pop=s["pop"],
-        children=s["children"],
+        child0=s["child0"],
+        child1=s["child1"],
         mig_time=s.get("mig_time"),
         mig_dest=s.get("mig_dest"),
     )

@@ -69,6 +69,63 @@ def zero_stats(E: int, Pp: int, lead: tuple = ()) -> SuffStats:
     )
 
 
+# --- flat layout -----------------------------------------------------------
+# Inside the sweep the six statistic tensors live CONCATENATED in one flat
+# [..., K] array: the scan/while/cond carries then move ONE buffer instead
+# of six, and every push/commit/rotate is a single fused op.  A profiler
+# trace of the scan showed ~58 buffer copies per segment (0.8 ms/segment,
+# ~40% of the sweep) caused by multi-buffer carries and cond pass-throughs.
+
+
+def stats_field_shapes(E: int, Pp: int):
+    return [(E, Pp), (E, Pp), (E, Pp), (E, Pp, Pp), (E,), (E,)]
+
+
+def stats_width(E: int, Pp: int) -> int:
+    return sum(int(np.prod(s)) for s in stats_field_shapes(E, Pp))
+
+
+def pack_stats(s: SuffStats) -> jnp.ndarray:
+    """SuffStats -> flat [..., K] (lead axes preserved)."""
+    shapes = stats_field_shapes(*s.coal_opp.shape[-2:])
+    lead = s.coal_opp.shape[: s.coal_opp.ndim - 2]
+    flat = [
+        f.reshape(lead + (int(np.prod(sh)),))
+        for f, sh in zip(s, shapes)
+    ]
+    return jnp.concatenate(flat, axis=-1)
+
+
+def unpack_stats(flat, E: int, Pp: int) -> SuffStats:
+    """flat [..., K] -> SuffStats (works for numpy or jax arrays)."""
+    shapes = stats_field_shapes(E, Pp)
+    lead = flat.shape[:-1]
+    out, off = [], 0
+    for sh in shapes:
+        k = int(np.prod(sh))
+        out.append(flat[..., off:off + k].reshape(lead + sh))
+        off += k
+    return SuffStats(*out)
+
+
+def pack_epoch_masks(masks: SuffStats, E: int, Pp: int) -> jnp.ndarray:
+    """Per-field [E] masks -> one flat [K] mask (broadcast per field)."""
+    shapes = stats_field_shapes(E, Pp)
+    parts = []
+    for m, sh in zip(masks, shapes):
+        reps = int(np.prod(sh)) // E
+        parts.append(jnp.repeat(m, reps))
+    return jnp.concatenate(parts)
+
+
+def _pp_from_width(E: int, K: int) -> int:
+    """Invert stats_width: K = E*(3*Pp + Pp^2 + 2)."""
+    for Pp in range(1, 65):
+        if stats_width(E, Pp) == K:
+            return Pp
+    raise ValueError(f"no Pp matches E={E}, K={K}")
+
+
 def _pick_node(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """arr[p, idx[p]] over the node axis as a one-hot reduction (arr
     [P, N, ...], idx [P]) — batched gathers serialize on TPU."""
@@ -124,6 +181,11 @@ class PFConfig:
     # exp(digamma(C))/C with C the rate's event count from the previous EM
     # iteration, i.e. the E_q[log rate] Gamma-posterior correction
     use_vb: bool = False
+    # fused Pallas trip kernel (kernels/pallas_trip.py): None = auto-enable
+    # on TPU for eligible configs (single pop, no migration/bias/guide/VB/
+    # recording, n <= 8); False forces the XLA path; True forces the kernel
+    # (interpret mode off-TPU — slow, for tests)
+    use_pallas: bool | None = None
 
     @property
     def desc_words(self) -> int:
@@ -142,10 +204,10 @@ class PFState(NamedTuple):
     log_w: jnp.ndarray  # [P] normalized log posterior weights
     log_pilot: jnp.ndarray  # [P] pilot (sampling) weights; == log_w w/o bias
     next_rec: jnp.ndarray  # [P] next recombination pos rel. to sweep front
-    fifo: SuffStats  # [P, F, ...] pending lagged statistics
+    fifo: jnp.ndarray  # [P, F, K] pending lagged statistics (flat layout)
     slot_open: jnp.ndarray  # [E] abs position where the newest slot opened
-    stats: SuffStats  # [] committed, posterior-weighted
-    stats_wt: SuffStats  # [] committed, w^2-weighted (post-lag ESS)
+    stats: jnp.ndarray  # [K] committed, posterior-weighted (flat layout)
+    stats_wt: jnp.ndarray  # [K] committed, w^2-weighted (post-lag ESS)
     ln_norm: jnp.ndarray  # [] accumulated log normalizer (log-likelihood)
     ln_norm_c: jnp.ndarray  # [] Kahan compensation
     front: jnp.ndarray  # [] sweep position (f32, chunk-relative)
@@ -224,16 +286,19 @@ def init_state(
         gap = gap_m
     from .kernels.tree import INF
 
-    K = cfg.delay_slots
+    # delayed-factor ring is only used under bias/guide sampling; capacity
+    # 1 keeps the dead buffers out of the scan/while carries (not 0: orbax
+    # cannot checkpoint zero-size arrays)
+    K = cfg.delay_slots if (cfg.use_bias or cfg.use_guide) else 1
     return PFState(
         trees=trees,
         log_w=jnp.full((P,), -jnp.log(float(P))),
         log_pilot=jnp.full((P,), -jnp.log(float(P))),
         next_rec=gap,
-        fifo=zero_stats(E, Pp, (P, cfg.fifo_slots)),
+        fifo=jnp.zeros((P, cfg.fifo_slots, stats_width(E, Pp))),
         slot_open=jnp.zeros((E,)),
-        stats=zero_stats(E, Pp),
-        stats_wt=zero_stats(E, Pp),
+        stats=jnp.zeros((stats_width(E, Pp),)),
+        stats_wt=jnp.zeros((stats_width(E, Pp),)),
         ln_norm=jnp.float32(0.0),
         ln_norm_c=jnp.float32(0.0),
         front=jnp.float32(0.0),
@@ -244,14 +309,7 @@ def init_state(
         df_logf=jnp.zeros((P, K)),
         df_delta=jnp.zeros((P, K)),
         df_k=jnp.zeros((P, K), jnp.int32),
-        arg_pos=jnp.zeros((P, cfg.arg_slots)) if cfg.record_arg else None,
-        arg_code=jnp.zeros((P, cfg.arg_slots), jnp.int8) if cfg.record_arg else None,
-        arg_time=jnp.zeros((P, cfg.arg_slots)) if cfg.record_arg else None,
-        arg_from=jnp.full((P, cfg.arg_slots), -1, jnp.int8) if cfg.record_arg else None,
-        arg_to=jnp.full((P, cfg.arg_slots), -1, jnp.int8) if cfg.record_arg else None,
-        arg_desc=jnp.zeros((P, cfg.arg_slots, cfg.desc_words), jnp.uint32)
-        if cfg.record_arg else None,
-        arg_n=jnp.zeros((P,), jnp.int32) if cfg.record_arg else None,
+        **_init_arg_ring(trees, cfg),
         **(
             dict(
                 win_opp_diff=jnp.zeros((cfg.num_windows + 1,)),
@@ -269,6 +327,67 @@ def init_state(
             if cfg.num_windows > 0
             else {}
         ),
+    )
+
+
+def _init_arg_ring(trees: Trees, cfg: PFConfig) -> dict:
+    """ARG-event ring, pre-seeded with the initial tree at position 0: one
+    C row per internal node (height, population, descendant cluster) and M
+    rows for per-branch migration events — the reference's event chain
+    includes the initial tree's events too (buildInitialTree records into
+    the same chain, particleContainer.cpp:33-65), and the tskit conversion
+    needs the starting topology."""
+    if not cfg.record_arg:
+        return dict(arg_pos=None, arg_code=None, arg_time=None,
+                    arg_from=None, arg_to=None, arg_desc=None, arg_n=None)
+    P, N = trees.parent.shape
+    n = (N + 1) // 2
+    A = cfg.arg_slots
+    dw = cfg.desc_words
+    if dw == 1:
+        from .kernels.tree import descendant_bitmask
+
+        desc = jax.vmap(descendant_bitmask)(
+            None, trees.time, trees.parent
+        )[:, :, None]  # [P, N, 1]
+    else:
+        from .kernels.tree import descendant_bitmask64
+
+        lo, hi = jax.vmap(descendant_bitmask64)(
+            None, trees.time, trees.parent
+        )
+        desc = jnp.stack([lo, hi], axis=-1)  # [P, N, 2]
+
+    k = n - 1  # internal nodes occupy ring slots 0..n-2
+    arg_pos = jnp.zeros((P, A))
+    arg_code = jnp.zeros((P, A), jnp.int8).at[:, :k].set(1)
+    arg_time = jnp.zeros((P, A)).at[:, :k].set(trees.time[:, n:])
+    arg_from = jnp.full((P, A), -1, jnp.int8).at[:, :k].set(
+        trees.pop[:, n:].astype(jnp.int8)
+    )
+    arg_to = jnp.full((P, A), -1, jnp.int8)
+    arg_desc = jnp.zeros((P, A, dw), jnp.uint32).at[:, :k].set(desc[:, n:])
+    arg_n = jnp.full((P,), k, jnp.int32)
+    arg = (arg_pos, arg_code, arg_time, arg_from, arg_to, arg_desc, arg_n)
+    if trees.mig_time is not None:
+        # M rows for the initial trees' branch migration events (capped at
+        # the first 4 per branch, as in the per-transition recording)
+        Mw = trees.mig_time.shape[2]
+        for b in range(N):
+            src = trees.pop[:, b]
+            for j in range(min(4, Mw)):
+                t_ev = trees.mig_time[:, b, j]
+                have = t_ev < 0.5 * INF
+                dst = trees.mig_dest[:, b, j]
+                arg = _push_arg_event(
+                    arg, have, jnp.zeros((P,)), 2, t_ev,
+                    src.astype(jnp.int8), dst.astype(jnp.int8),
+                    desc[:, b], A,
+                )
+                src = jnp.where(have, dst, src)
+    return dict(
+        arg_pos=arg[0], arg_code=arg[1], arg_time=arg[2], arg_from=arg[3],
+        arg_to=arg[4], arg_desc=arg[5], arg_n=arg[6],
     )
 
 
@@ -294,8 +413,8 @@ def _tree_summaries(trees: Trees, epochs: Epochs, leaf_status: jnp.ndarray,
 
     def b_mixed():
         return jax.vmap(
-            lambda t, p, c: data_branch_length(t, p, c, has_data)
-        )(trees.time, trees.parent, trees.children)
+            lambda t, p: data_branch_length(t, p, None, has_data)
+        )(trees.time, trees.parent)
 
     def b_complete():
         return tl
@@ -508,34 +627,22 @@ def _commit_slot(
     particles' current normalized weights (count.cpp:448-555 semantics),
     then (optionally) rotate those epochs' FIFOs one slot."""
     w = jax.nn.softmax(state.log_w)  # [P]
-
-    def commit(field_fifo, field_glob):
-        # field_fifo: [P, F, E, ...]; contribution from slot `slot`
-        x = field_fifo[:, slot]  # [P, E, ...]
-        wshape = (w.shape[0],) + (1,) * (x.ndim - 1)
-        contrib = jnp.sum(x * w.reshape(wshape), axis=0)  # [E, ...]
-        m = _bcast_epoch(rotate_e, contrib, 0)
-        return field_glob + jnp.where(m, contrib, 0.0)
-
-    def commit_wt(field_fifo, field_glob):
-        x = field_fifo[:, slot]
-        wshape = (w.shape[0],) + (1,) * (x.ndim - 1)
-        contrib = jnp.sum(x * (w**2).reshape(wshape), axis=0)
-        m = _bcast_epoch(rotate_e, contrib, 0)
-        return field_glob + jnp.where(m, contrib, 0.0)
-
-    def do_rotate(field_fifo):
-        rolled = jnp.roll(field_fifo, 1, axis=1)
-        zeroed = rolled.at[:, 0].set(0.0)
-        m = _bcast_epoch(rotate_e, field_fifo, 2)
-        return jnp.where(m, zeroed, field_fifo)
-
-    stats = jax.tree_util.tree_map(commit, state.fifo, state.stats)
-    stats_wt = jax.tree_util.tree_map(commit_wt, state.fifo, state.stats_wt)
-    fifo = (
-        jax.tree_util.tree_map(do_rotate, state.fifo) if rotate
-        else state.fifo
+    E = rotate_e.shape[0]
+    K = state.fifo.shape[2]
+    Pp = _pp_from_width(E, K)
+    rot_flat = pack_epoch_masks(
+        SuffStats(*([rotate_e.astype(jnp.float32)] * 6)), E, Pp
+    )  # [K]
+    x = state.fifo[:, slot]  # [P, K]
+    stats = state.stats + rot_flat * jnp.sum(x * w[:, None], axis=0)
+    stats_wt = state.stats_wt + rot_flat * jnp.sum(
+        x * (w**2)[:, None], axis=0
     )
+    fifo = state.fifo
+    if rotate:
+        rolled = jnp.roll(fifo, 1, axis=1)
+        zeroed = rolled.at[:, 0].set(0.0)
+        fifo = jnp.where(rot_flat[None, None, :] > 0, zeroed, fifo)
     return state._replace(stats=stats, stats_wt=stats_wt, fifo=fifo)
 
 
@@ -545,12 +652,12 @@ def flush_pending(state: PFState, window_size: float = 100.0) -> PFState:
     commit likewise.  Slots are committed WITHOUT rotating — the old
     commit-and-rotate loop silently skipped half the slots (incl. slot 0,
     which holds everything when the lag exceeds the chunk length)."""
-    F = state.fifo.coal_opp.shape[1]
-    all_epochs = jnp.ones(state.stats.recomb_opp.shape[0], dtype=bool)
-    for s in range(F):
-        state = _commit_slot(state, all_epochs, s, rotate=False)
+    w = jax.nn.softmax(state.log_w)
+    total = jnp.sum(state.fifo, axis=1)  # [P, K] all pending slots
     state = state._replace(
-        fifo=jax.tree_util.tree_map(jnp.zeros_like, state.fifo)
+        stats=state.stats + jnp.sum(total * w[:, None], axis=0),
+        stats_wt=state.stats_wt + jnp.sum(total * (w**2)[:, None], axis=0),
+        fifo=jnp.zeros_like(state.fifo),
     )
     if state.lr_pos is not None:
         state = _commit_due_local(
@@ -598,6 +705,52 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
     rho = jnp.float32(rho)
     record_local = cfg.num_windows > 0
     ws = float(cfg.window_size)
+    # pilot weights diverge from the posterior only under biased/guided
+    # sampling or the APF; otherwise every pilot update is dead work in the
+    # hot loop (log_pilot := log_w at the end of each step)
+    track_pilot = cfg.use_bias or cfg.use_guide or cfg.apf > 0
+    # fused Pallas trip kernel: ~100 XLA kernels -> 1 pallas_call per
+    # recombination trip (SURVEY §7.1).  Eligible for the common config;
+    # the XLA path below remains the oracle/fallback.
+    # block size: a divisor of P that is a multiple of 8 (f32 sublane
+    # tiling), as large as possible up to 1024 (the kernel's hazard tensor
+    # is ~3.5 KB/particle of VMEM; larger blocks overflow the 16 MB budget)
+    P_blk = max(
+        (b for b in range(8, min(P, 1024) + 1, 8) if P % b == 0),
+        default=None,
+    )
+    pallas_eligible = (
+        not cfg.has_migration
+        and Pp == 1
+        and not cfg.use_bias
+        and not cfg.use_guide
+        and not cfg.use_vb
+        and not cfg.record_arg
+        and cfg.num_windows == 0
+        and cfg.num_leaves <= 8
+        and P_blk is not None
+    )
+    if cfg.use_pallas is None:
+        # default OFF: on the axon v5e runtime the fused kernel measures
+        # ~117 us/trip device-side vs ~100 us for the XLA op chain, and its
+        # operand marshaling adds layout copies — net slower end-to-end
+        # (1.15 vs 0.61 ms/segment at P=10k).  The kernel is kept as a
+        # tested opt-in (use_pallas=True) for runtimes where pallas_call
+        # invocation is cheaper; see kernels/pallas_trip.py.
+        use_pallas = False
+        pallas_interpret = False
+    else:
+        use_pallas = cfg.use_pallas and pallas_eligible
+        pallas_interpret = jax.default_backend() == "cpu"
+    
+    K = stats_width(E, Pp)
+    # static slice offset of recomb_opp in the flat layout
+    _off = 0
+    for _name, _sh in zip(SuffStats._fields, stats_field_shapes(E, Pp)):
+        if _name == "recomb_opp":
+            break
+        _off += int(np.prod(_sh))
+    OFF_RECOMB_OPP = _off
     # recording-time epoch exclusion masks (-xc / -xr): the reference gates
     # event RECORDING per epoch via record_event_in_epoch
     # (pfparam.cpp:82-99), not just the M-step aggregate
@@ -669,6 +822,37 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             next_rec, it = carry[7], carry[-1]
             return jnp.any(next_rec < L) & (it < cfg.max_recomb_iters)
 
+        def body_pallas(carry):
+            # one fused pallas_call per trip (kernels/pallas_trip.py); the
+            # XLA `body` below is the oracle path for ineligible configs
+            from .kernels.pallas_trip import fused_trip
+
+            (key, trees, log_w, log_pilot, dfs, arg, lr, next_rec, upd, tl,
+             tl_e, B, pending, diag, it) = carry
+            key, sub = jax.random.split(key)
+            uniforms = jax.random.uniform(sub, (P, 4))
+            inv2ne = 1.0 / (2.0 * epochs.ne[:, 0])
+            (t2, p2, c02, c12, nr2, up2, lw2, tl2, B2, tle2, pend2) = (
+                fused_trip(
+                    uniforms, leaf_status.astype(jnp.int32),
+                    trees.time, trees.parent, trees.child0, trees.child1,
+                    next_rec, upd, log_w, tl, B, tl_e, pending,
+                    L, mu, rho, epochs.start, inv2ne, has_data,
+                    N=2 * cfg.num_leaves - 1, E=E, BLK=P_blk,
+                    interpret=pallas_interpret,
+                )
+            )
+            if track_pilot:
+                # body updates posterior and pilot identically in eligible
+                # configs (no bias/guide), so carry the delta across
+                log_pilot = log_pilot + (lw2 - log_w)
+            trees2 = Trees(
+                parent=p2, time=t2, pop=trees.pop, child0=c02, child1=c12,
+                mig_time=trees.mig_time, mig_dest=trees.mig_dest,
+            )
+            return (key, trees2, lw2, log_pilot, dfs, arg, lr, nr2, up2,
+                    tl2, tle2, B2, pend2, diag, it + 1)
+
         def body(carry):
             (key, trees, log_w, log_pilot, dfs, arg, lr, next_rec, upd, tl,
              tl_e, B, pending, diag, it) = carry
@@ -679,20 +863,21 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                 if cfg.desc_words == 1:
                     from .kernels.tree import descendant_bitmask
 
-                    desc_pre = jax.vmap(descendant_bitmask)(
-                        trees.children, trees.time, trees.parent
-                    )[:, :, None]
+                    desc_pre = jax.vmap(
+                        lambda t, p: descendant_bitmask(None, t, p)
+                    )(trees.time, trees.parent)[:, :, None]
                 else:
                     from .kernels.tree import descendant_bitmask64
 
                     lo, hi = jax.vmap(
-                        descendant_bitmask64, in_axes=(0, 0, 0)
-                    )(trees.children, trees.time, trees.parent)
+                        lambda t, p: descendant_bitmask64(None, t, p)
+                    )(trees.time, trees.parent)
                     desc_pre = jnp.stack([lo, hi], axis=-1)
             delta = jnp.where(active, next_rec - upd, 0.0)
             # no-mutation likelihood over [upd, next_rec)
             log_w = log_w - mu * B * delta
-            log_pilot = log_pilot - mu * B * delta
+            if track_pilot:
+                log_pilot = log_pilot - mu * B * delta
             if cfg.use_guide:
                 # survival IW for guide-rate position sampling, applied
                 # immediately (particle.cpp:810-813,1138-1182)
@@ -706,8 +891,8 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                 log_w = log_w + liw
                 log_pilot = log_pilot + liw
             # recombination opportunity dx * treelen_e (coalevent.hpp:221)
-            pending = pending._replace(
-                recomb_opp=pending.recomb_opp + delta[:, None] * tl_e
+            pending = pending.at[:, OFF_RECOMB_OPP:OFF_RECOMB_OPP + E].add(
+                delta[:, None] * tl_e
             )
             # the transition itself
             key, sub = jax.random.split(key)
@@ -728,12 +913,13 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                 bias_strengths=bias_strengths if cfg.use_bias else None,
                 leaf_rates=lrates,
             )
-            pending = pending._replace(
-                coal_opp=pending.coal_opp + rec.coal_opp,
-                coal_cnt=pending.coal_cnt + rec.coal_cnt,
-                mig_opp=pending.mig_opp + rec.mig_opp,
-                mig_cnt=pending.mig_cnt + rec.mig_cnt,
-                recomb_cnt=pending.recomb_cnt + rec.recomb_cnt,
+            pending = pending + pack_stats(
+                SuffStats(
+                    coal_opp=rec.coal_opp, coal_cnt=rec.coal_cnt,
+                    mig_opp=rec.mig_opp, mig_cnt=rec.mig_cnt,
+                    recomb_opp=jnp.zeros_like(rec.recomb_cnt),
+                    recomb_cnt=rec.recomb_cnt,
+                )
             )
             diag = diag + jnp.stack(
                 [jnp.sum(rec.walk_capped), jnp.sum(rec.buf_dropped)]
@@ -753,7 +939,8 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                     axis=(1, 2, 3),
                 )
                 log_w = log_w + vb_adj
-                log_pilot = log_pilot + vb_adj
+                if track_pilot:
+                    log_pilot = log_pilot + vb_adj
             if cfg.use_bias or cfg.use_guide:
                 # posterior gets the full IW immediately; the pilot gets the
                 # height-bias part immediately when the point falls in an
@@ -783,6 +970,11 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                 # R + C rows of the .trees event log
                 # (particleContainer.cpp:515-555 format)
                 dc = _pick_node(desc_pre, rec.c_node)  # [P, dw]
+                # C rows carry the UNION of the cut lineage and the
+                # coalesced-with subtree — the descendants of the new node,
+                # matching the reference's event records (coalevent.hpp
+                # add_leaf_to_tree semantics; trees2tskit.py relies on it)
+                du = dc | _pick_node(desc_pre, rec.d_node)
                 abs_pos = state.front + next_rec
                 arg = _push_arg_event(
                     arg, active, abs_pos, 0, rec.recomb_height,
@@ -790,7 +982,7 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                 )
                 arg = _push_arg_event(
                     arg, active, abs_pos, 1, rec.coal_height,
-                    rec.coal_pop, -1, dc, cfg.arg_slots,
+                    rec.coal_pop, -1, du, cfg.arg_slots,
                 )
                 if rec.mig_ev_t is not None:
                     # M rows: realized migration hops on the new branch
@@ -835,7 +1027,7 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             return (key, trees, log_w, log_pilot, dfs, arg, lr, next_rec, upd,
                     tl, tl_e, B, pending, diag, it + 1)
 
-        pending0 = zero_stats(E, Pp, (P,))
+        pending0 = jnp.zeros((P, K))
         arg0 = (
             (state.arg_pos, state.arg_code, state.arg_time, state.arg_from,
              state.arg_to, state.arg_desc, state.arg_n)
@@ -866,13 +1058,16 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             jnp.int32(0),
         )
         (key, trees, log_w, log_pilot, dfs, arg, lr, next_rec, upd, tl, tl_e,
-         B, pending, diag, _) = jax.lax.while_loop(cond, body, carry)
+         B, pending, diag, _) = jax.lax.while_loop(
+            cond, body_pallas if use_pallas else body, carry
+        )
         df_pos, df_logf, df_delta, df_k = dfs
 
         # final extension to the segment end
         delta = L - upd
         log_w = log_w - mu * B * delta
-        log_pilot = log_pilot - mu * B * delta
+        if track_pilot:
+            log_pilot = log_pilot - mu * B * delta
         if cfg.use_guide:
             liw_f = jnp.where(
                 delta > 0,
@@ -881,8 +1076,8 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             )
             log_w = log_w + liw_f
             log_pilot = log_pilot + liw_f
-        pending = pending._replace(
-            recomb_opp=pending.recomb_opp + delta[:, None] * tl_e
+        pending = pending.at[:, OFF_RECOMB_OPP:OFF_RECOMB_OPP + E].add(
+            delta[:, None] * tl_e
         )
         next_rec = next_rec - L
 
@@ -911,7 +1106,7 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                 ll = jax.scipy.special.logsumexp(
                     jnp.where(mask, per_cfg, -jnp.inf), axis=0
                 ) - jnp.log(n_configs.astype(jnp.float32))
-            return lw + ll, lp + ll
+            return lw + ll, (lp + ll if track_pilot else lp)
 
         apply_site = (seg_state == 0) & (leaf_status != -1)  # SEGMENT_INVARIANT
         log_w, log_pilot = jax.lax.cond(
@@ -926,19 +1121,15 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
         gate_e = (dist_mut < 0.5 * lags).astype(jnp.float32)  # [E]
         # -xc masks coal+migration recording, -xr masks recombination
         # recording (record_event_in_epoch, pfparam.cpp:82-99)
-        mask_by_field = SuffStats(
-            coal_opp=gate_e * xc_mask, coal_cnt=gate_e * xc_mask,
-            mig_opp=gate_e * xc_mask, mig_cnt=gate_e * xc_mask,
-            recomb_opp=gate_e * xr_mask, recomb_cnt=gate_e * xr_mask,
-        )
-        fifo = jax.tree_util.tree_map(
-            lambda f, p, m: f.at[:, 0].add(
-                p * m.reshape((1, m.shape[0]) + (1,) * (p.ndim - 2))
+        mask_flat = pack_epoch_masks(
+            SuffStats(
+                coal_opp=gate_e * xc_mask, coal_cnt=gate_e * xc_mask,
+                mig_opp=gate_e * xc_mask, mig_cnt=gate_e * xc_mask,
+                recomb_opp=gate_e * xr_mask, recomb_cnt=gate_e * xr_mask,
             ),
-            state.fifo,
-            pending,
-            mask_by_field,
-        )
+            E, Pp,
+        )  # [K]
+        fifo = state.fifo.at[:, 0].add(pending * mask_flat[None, :])
 
         # ---- normalize ----------------------------------------------------
         delta_ln = jax.scipy.special.logsumexp(log_w)
@@ -988,7 +1179,9 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             # by the current normalized weights and spread over [front-L,
             # front) (count.cpp:520-552 -> record_local_recomb_events)
             w_now = jax.nn.softmax(log_w)
-            seg_ropp = jnp.sum(pending.recomb_opp, axis=1)  # [P]
+            seg_ropp = jnp.sum(
+                pending[:, OFF_RECOMB_OPP:OFF_RECOMB_OPP + E], axis=1
+            )  # [P]
             total_opp = jnp.sum(w_now * seg_ropp)
             state = state._replace(
                 win_opp_diff=_add_window_opportunity(
@@ -1000,10 +1193,22 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             state = _commit_due_local(state, w_now, front, ws)
 
         # ---- lagged commit ------------------------------------------------
+        # epochs rotate their FIFO only every `span` bp, so most segments
+        # commit nothing; gate the ~30-kernel commit+rotate behind a cond
         rotate_e = (front - state.slot_open) >= span
-        state = _commit_slot(state, rotate_e, F - 1)
+
+        def do_commit(op):
+            st = state._replace(stats=op[0], stats_wt=op[1], fifo=op[2])
+            st = _commit_slot(st, rotate_e, F - 1)
+            return (st.stats, st.stats_wt, st.fifo)
+
+        stats2, stats_wt2, fifo2 = jax.lax.cond(
+            jnp.any(rotate_e), do_commit, lambda op: op,
+            (state.stats, state.stats_wt, state.fifo),
+        )
         state = state._replace(
-            slot_open=jnp.where(rotate_e, front, state.slot_open)
+            stats=stats2, stats_wt=stats_wt2, fifo=fifo2,
+            slot_open=jnp.where(rotate_e, front, state.slot_open),
         )
 
         # ---- ESS and resampling (on pilot weights; equal to posterior when

@@ -30,19 +30,47 @@ def const_demo(ne=10000.0, n=2, L=1e6, mu=1e-8, rho=1e-9, epochs=1):
 @pytest.mark.slow
 class TestConstPopSize:
     def test_single_epoch_recovery(self):
-        """Constant-Ne: inferred Ne from one E-step should be near truth
-        (cf. test_const_pop_size.py:42-49 interval targets)."""
+        """Constant-Ne: inferred Ne should be near truth over seeds
+        (cf. test_const_pop_size.py:42-49 interval targets).
+
+        Multi-seed gate (round-3 verdict #3): at Np=500 over 2 Mb the
+        per-seed estimator spread is ~±10-15%, so a single-seed ±15%
+        interval is seed-marginal (round-2 shipped red at (21, 2); fresh
+        seeds landed 10631/9979).  Following the reference's
+        ``max_out_of_range`` pattern (test_generic), three (data, filter)
+        seed pairs are run and at most ONE may fall outside ±15%, while the
+        pooled estimate must be within ±10%.  Ablation (round-3): rerunning
+        seed pair (21, 2) with the ``max_epoch_to_update`` gate disabled
+        (dist_mut forced to 0 so ``dist_mut < lag/2`` always records) gave
+        ne_hat = 11178 vs ~11.5k with the gate — the +12-15% deviation at
+        this seed persists without gap suppression, so it is estimator
+        variance, not a suppression-induced shift."""
         truth = 10000.0
         demo = const_demo(ne=truth, n=2, L=2e6)
-        seg = simulate_seg(demo, seed=21)
-        cfg = EMConfig(num_particles=500, block_size=512)
-        stats, stats_wt, logl, diag = run_chunk(demo, seg, cfg, seed=2)
-        ne_hat = float(stats.coal_opp.sum() / (2.0 * stats.coal_cnt.sum()))
-        assert np.isfinite(logl) and logl < 0
-        assert ne_hat == pytest.approx(truth, rel=0.15)
-        # recombination rate recovery (truth 1e-9)
-        r_hat = float(stats.recomb_cnt.sum() / stats.recomb_opp.sum())
-        assert r_hat == pytest.approx(1e-9, rel=0.4)
+        pairs = [(21, 2), (23, 4), (25, 6)]
+        ne_hats, opp_tot, cnt_tot, r_cnt, r_opp = [], 0.0, 0.0, 0.0, 0.0
+        for dseed, fseed in pairs:
+            seg = simulate_seg(demo, seed=dseed)
+            cfg = EMConfig(num_particles=500, block_size=512)
+            stats, stats_wt, logl, diag = run_chunk(
+                demo, seg, cfg, seed=fseed
+            )
+            assert np.isfinite(logl) and logl < 0
+            ne_hats.append(
+                float(stats.coal_opp.sum() / (2.0 * stats.coal_cnt.sum()))
+            )
+            opp_tot += float(stats.coal_opp.sum())
+            cnt_tot += float(stats.coal_cnt.sum())
+            r_cnt += float(stats.recomb_cnt.sum())
+            r_opp += float(stats.recomb_opp.sum())
+        out_of_range = sum(
+            1 for nh in ne_hats if not (0.85 * truth < nh < 1.15 * truth)
+        )
+        assert out_of_range <= 1, f"ne_hats={ne_hats}"
+        pooled = opp_tot / (2.0 * cnt_tot)
+        assert pooled == pytest.approx(truth, rel=0.10), (ne_hats, pooled)
+        # pooled recombination rate recovery (truth 1e-9)
+        assert r_cnt / r_opp == pytest.approx(1e-9, rel=0.4)
 
     def test_em_iteration_moves_toward_truth(self):
         """Start from a wrong Ne; one EM iteration must move toward truth."""

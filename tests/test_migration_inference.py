@@ -46,15 +46,27 @@ class TestMigrationInference:
         """Simulate with backwards migration only 1 -> 0; infer starting from
         a SYMMETRIC model: the data must pull the estimates apart in the
         right direction (the real inference test — the reference's
-        TwoPopUniDirMigr scenario, test_migration.py:27-41)."""
+        TwoPopUniDirMigr scenario, test_migration.py:27-41).
+
+        Multi-seed gate (round-3 verdict #3): at Np=200 over 1 Mb a single
+        seed's directional signal is weak enough to flip on FP-level
+        reorderings; the event counts and opportunities are therefore
+        POOLED over three (data, filter) seed pairs before comparing
+        directions — the aggregate is what the reference's 30 Mb scenario
+        measures with one long genome."""
         ne, m = 10000.0, 2e-4
         truth = island(ne, 0.0, m, n_per_pop=2, L=1e6)
-        seg = simulate_seg(truth, seed=32)
         start = island(ne, m / 2, m / 2, n_per_pop=2, L=1e6)
         cfg = EMConfig(num_particles=200, block_size=256)
-        stats, _, _, _ = run_chunk(start, seg, cfg, seed=7)
-        m01 = float(stats.mig_cnt[0, 0, 1] / stats.mig_opp[0, 0])
-        m10 = float(stats.mig_cnt[0, 1, 0] / stats.mig_opp[0, 1])
+        cnt = np.zeros((2, 2))
+        opp = np.zeros(2)
+        for dseed, fseed in [(32, 7), (34, 9), (36, 11)]:
+            seg = simulate_seg(truth, seed=dseed)
+            stats, _, _, _ = run_chunk(start, seg, cfg, seed=fseed)
+            cnt += np.asarray(stats.mig_cnt[0])
+            opp += np.asarray(stats.mig_opp[0])
+        m01 = cnt[0, 1] / opp[0]
+        m10 = cnt[1, 0] / opp[1]
         assert m10 > m01, f"expected asymmetry: m10={m10:.3g} m01={m01:.3g}"
 
 

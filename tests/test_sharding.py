@@ -75,7 +75,7 @@ class TestShardedSweepEquality:
         )
         np.testing.assert_allclose(ess8, ess1, rtol=1e-4)
         np.testing.assert_allclose(
-            np.asarray(s8.stats.coal_cnt), np.asarray(s1.stats.coal_cnt),
+            np.asarray(s8.stats), np.asarray(s1.stats),
             rtol=1e-4, atol=1e-8,
         )
         np.testing.assert_allclose(
