@@ -180,6 +180,57 @@ def terminal_branch_quantiles(
     )
 
 
+def default_bias_strengths(
+    key,
+    epochs: Epochs,
+    sample_pop: np.ndarray,
+    bias_heights,
+    num_trees: int = 20_000,
+    batch: int = 10_000,
+    max_strength: float = 10.0,
+) -> tuple:
+    """Model-derived default ``bias_strengths`` for the given section
+    boundaries — the equivalent of the reference's ``getBiasRatio``
+    machinery (model_summary.hpp:119-133 + ModelSummary's
+    avg_B_within_bias_section pre-pass), which measures expected branch
+    length within each bias section by simulating trees from the model.
+
+    getBiasRatio gives section idx's share of sampled recombination mass:
+    ``B_total * s_idx / sum_j B_j * s_j``.  Choosing ``s_j = B_K / B_j``
+    (normalized so the last section keeps strength 1, as in the reference's
+    recommended usage, e.g. ``-bias_strengths 2 1``) equalizes the expected
+    sampling mass across sections: recent sections with little branch
+    length get proportionally more proposal attention.  Strengths are
+    clipped to [1, max_strength] so no section is *down*-weighted and the
+    importance-weight variance stays bounded."""
+    from .kernels.tree import branch_length_per_epoch
+
+    heights = np.concatenate([[0.0], np.asarray(bias_heights, np.float64)])
+    starts = jnp.asarray(heights, jnp.float32)
+    ends = jnp.concatenate([starts[1:], jnp.asarray([3e38], jnp.float32)])
+    sample_pop = jnp.asarray(sample_pop)
+
+    @jax.jit
+    def sim(k):
+        trees = make_initial_trees(k, epochs, batch, sample_pop, max_mig=0)
+        return jnp.mean(
+            jax.vmap(
+                lambda t, p: branch_length_per_epoch(t, p, starts, ends)
+            )(trees.time, trees.parent),
+            axis=0,
+        )
+
+    acc = np.zeros(len(heights))
+    reps = (num_trees + batch - 1) // batch
+    for _ in range(reps):
+        key, sub = jax.random.split(key)
+        acc += np.asarray(sim(sub), np.float64)
+    b = acc / reps
+    b = np.maximum(b, 1e-6 * b.sum() + 1e-30)
+    s = b[-1] / b
+    return tuple(float(x) for x in np.clip(s, 1.0, max_strength))
+
+
 def calibrated_lags_and_delays(
     key, epochs, sample_pop, rho, lag_fraction=2.0, delay=0.5, **kw
 ):

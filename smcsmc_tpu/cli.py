@@ -60,6 +60,9 @@ def parse_smc2_args(argv: list[str]):
         "calibrate_lag": 2.0,
         "alpha": 0.0,
         "bias_heights": None,
+        "tmax": 2.0,  # -tmax: max tree height in 4N0 units (pfparam.cpp:242)
+        "p_pattern": None,  # -p: binary-style epoch pattern (pfparam.cpp:105)
+        "logfile": None,  # -log FILE: log file override (model.py:415-417)
     }
     demo_args: list[str] = []
     i = 0
@@ -133,6 +136,54 @@ def parse_smc2_args(argv: list[str]):
         elif o == "-apf":
             # auxiliary particle filter level 0-4 (pfparam.cpp:147-151)
             cfg.apf = int(take())
+        elif o == "-tmax":
+            # maximum tree height for -p epoch spacing, in 4N0 units
+            # (pfparam.cpp:103-104, default 2)
+            io["tmax"] = float(take())
+        elif o == "-p":
+            # binary-style PSMC pattern, log-spaced on [0, tmax]
+            # (pfparam.cpp:105-107 + pattern.cpp:139-149)
+            io["p_pattern"] = take()
+        elif o == "-delay_coal":
+            # delay keyed off the first coalescence height (pfparam.cpp:140)
+            cfg.delay_type = "coal"
+            i += 1
+        elif o == "-delay_migr":
+            # delay keyed off the first coal-or-migration event
+            # (pfparam.cpp:141-142 RESAMPLE_DELAY_COALMIGR)
+            cfg.delay_type = "migr"
+            i += 1
+        elif o == "-no_infer_recomb":
+            # keep the recombination rate fixed across M-steps
+            # (model.py:403-405)
+            cfg.infer_recomb = False
+            i += 1
+        elif o == "-no_m_step":
+            # run E-steps only; parameters stay at their initial values
+            # (model.py:406-408, 1020-1022)
+            cfg.do_m_step = False
+            i += 1
+        elif o == "-log":
+            # -log FILE names the python-level log (model.py:415-417); the
+            # bare binary -log bool (pfparam.cpp:158) is a no-op here since
+            # result.log is always written
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                io["logfile"] = take()
+            else:
+                i += 1
+        elif o == "-c":
+            # reference: submit chunks via SGE qsub (model.py:254-257).  The
+            # TPU-native equivalent is multi-host chunk parallelism
+            # (parallel/distributed.py); locally chunks already run
+            # concurrently one-per-device, so this is accepted as a no-op.
+            logger.warning(
+                "-c (SGE cluster submission) has no effect: chunks run "
+                "concurrently on local devices; use jax.distributed for "
+                "multi-host execution"
+            )
+            i += 1
+        elif o == "-C":
+            take()  # cluster config string (model.py:258-260): no-op
         elif o == "-vb":
             cfg.vb = True
             i += 1
@@ -344,6 +395,21 @@ def build_demography(cfg, demo_args, io, seg=None):
     elif seg is not None and "-nsam" not in args and "-I" not in args:
         args += ["-nsam", str(seg.num_samples)]
 
+    if io["pattern"] is None and io.get("p_pattern"):
+        # binary-style -p/-tmax epoch grid (pfparam.cpp:290-296): pattern
+        # times are in 4N0 units already (pattern.cpp:139-149)
+        from .pattern import epoch_times_from_pattern
+
+        times_4n0 = epoch_times_from_pattern(io["p_pattern"], io["tmax"])
+        for t in times_4n0:
+            if t > 0:
+                args += ["-eN", str(t), "1.0"]
+        logger.info(
+            "Epoch grid from -p %s -tmax %g: %s",
+            io["p_pattern"], io["tmax"],
+            " ".join(f"{t:.4g}" for t in times_4n0),
+        )
+
     if io["pattern"] is not None:
         # -P start end pattern (model.py:470-536 set_pattern): generate the
         # log-spaced epoch grid, re-emit user -eN sizes carried forward onto
@@ -446,7 +512,8 @@ def smcsmc_main(argv=None):
 
     os.makedirs(io["out"], exist_ok=True)
     logging.basicConfig(
-        filename=os.path.join(io["out"], "result.log"), level=logging.INFO
+        filename=io["logfile"] or os.path.join(io["out"], "result.log"),
+        level=logging.INFO,
     )
     logger.info("smc2 %s", " ".join(argv))
 

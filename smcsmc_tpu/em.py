@@ -76,9 +76,18 @@ class EMConfig:
     # biased sampling (reference -bias_heights/-bias_strengths fork flags;
     # heights in generations here, converted from 4N0 units by the CLI)
     bias_heights: tuple = ()  # e.g. (200.0,): sections [0,200), [200,inf)
-    bias_strengths: tuple = ()  # one per section
+    bias_strengths: tuple = ()  # one per section; () with bias_heights set
+    # -> auto-calibrated via the getBiasRatio pre-pass (model_summary.hpp:119)
     delay: float = 0.5  # delay fraction of survival (pfparam.cpp:223)
     lag_fraction: float = 2.0  # lag = fraction * survival (pfparam.cpp:222)
+    # which event height sets the delayed-IW application delay
+    # (pfparam.hpp:282 ResampleDelayType; particle.cpp:874-876):
+    # "recomb" (default) = recombination point height, "coal" = first
+    # coalescence height (-delay_coal), "migr" = first coal-or-migration
+    # event height (-delay_migr)
+    delay_type: str = "recomb"
+    # -no_m_step (model.py:240-245): run E-steps but keep parameters fixed
+    do_m_step: bool = True
     # recombination guide loop (-alpha, model.py:65,1125-1148): alpha > 0
     # records per-window local recombination evidence (.recomb.gz), smooths
     # it (WBS) into a guide between iterations, and samples recombination
@@ -316,6 +325,21 @@ def run_chunk(
         int(np.ceil(chunk_len / cfg.guide_interval)) if cfg.alpha > 0 else 0
     )
     epochs = epochs_from_demography(demo)
+    bias_strengths_cfg = cfg.bias_strengths
+    if cfg.bias_heights and not bias_strengths_cfg:
+        # getBiasRatio-equivalent default (model_summary.hpp:119-133):
+        # strengths from expected branch mass per bias section
+        from .calibrate import default_bias_strengths
+
+        bias_strengths_cfg = default_bias_strengths(
+            jax.random.PRNGKey(seed + 50021), epochs, demo.sample_pops,
+            cfg.bias_heights,
+        )
+        logging.getLogger("smcsmc").info(
+            "auto-calibrated bias_strengths for heights %s: %s",
+            cfg.bias_heights,
+            " ".join(f"{s:.3g}" for s in bias_strengths_cfg),
+        )
     pfcfg = PFConfig(
         num_particles=cfg.num_particles,
         num_leaves=demo.num_samples,
@@ -324,14 +348,15 @@ def run_chunk(
         ancestral_aware=cfg.ancestral_aware,
         has_migration=bool(np.any(demo.mig_rates > 0)),
         max_mig=cfg.mig_buffer or _auto_mig_buffer(demo),
-        use_bias=bool(cfg.bias_strengths)
-        and any(s != 1.0 for s in cfg.bias_strengths),
+        use_bias=bool(bias_strengths_cfg)
+        and any(s != 1.0 for s in bias_strengths_cfg),
         apf=cfg.apf,
         record_arg=cfg.record_arg,
         num_windows=num_windows,
         window_size=cfg.guide_interval,
         use_guide=guide_file is not None,
         use_vb=cfg.vb,
+        delay_type=cfg.delay_type,
     )
     vb_tables = (
         vb_log_tables(demo, vb_counts, cfg.vb_pseudocount) if cfg.vb else None
@@ -391,7 +416,7 @@ def run_chunk(
     bias_heights = bias_strengths = delays = None
     if pfcfg.use_bias:
         bias_heights = np.concatenate([[0.0], list(cfg.bias_heights), [3e38]])
-        bias_strengths = np.asarray(cfg.bias_strengths, dtype=np.float32)
+        bias_strengths = np.asarray(bias_strengths_cfg, dtype=np.float32)
     if pfcfg.use_bias or pfcfg.use_guide:
         # application delay = delay_fraction * survival (smcsmc.cpp:307); if
         # no calibration pre-pass ran, survival ~ lag / lag_fraction
@@ -541,10 +566,7 @@ def run_chunk(
             "window_size": cfg.guide_interval,
         }
     if cfg.record_arg:
-        # sample one particle ~ posterior weight (reference resamples down to
-        # a single particle before printTrees, smcsmc.cpp:395-396)
-        w = np.asarray(jax.nn.softmax(state.log_w))
-        best = int(np.argmax(w))
+        best = _sample_arg_particle(np.asarray(state.log_w), seed)
         diag["arg"] = {
             "pos": np.asarray(state.arg_pos[best]),
             "code": np.asarray(state.arg_code[best]),
@@ -556,6 +578,19 @@ def run_chunk(
             "start": chunk_start,
         }
     return stats, stats_wt, logl, diag
+
+
+def _sample_arg_particle(log_w: np.ndarray, seed: int) -> int:
+    """Draw ONE particle index proportional to posterior weight for the
+    -arg output (the reference resamples down to a single particle before
+    printTrees: smcsmc.cpp:395-396 + particleContainer.cpp:247 — a weighted
+    draw, not the argmax, so ARG-derived outputs are not biased toward the
+    posterior mode)."""
+    lw = np.asarray(log_w, dtype=np.float64)
+    w = np.exp(lw - lw.max())
+    w = w / w.sum()
+    rng = np.random.default_rng(seed + 65537)
+    return int(rng.choice(w.shape[0], p=w))
 
 
 def run_chunks(
@@ -631,8 +666,8 @@ def _stats_from_outdata(data, demo: Demography, col_opp: str = "Opp",
     recomb_cnt = np.zeros((E,))
     for key in data:
         (typ, epoch, frm, to, clump), col = key
-        if col != "Count":
-            continue
+        if col != "Count" or clump != -1:
+            continue  # per-chunk (Clump >= 0) rows are diagnostics only
         k0 = (typ, epoch, frm, to, clump)
         if typ == "Coal" and 0 <= epoch < E and 0 <= frm < Pp:
             coal_opp[epoch, frm] = data[(k0, col_opp)]
@@ -765,7 +800,8 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
                 ) as fh:
                     result.out_text.append(fh.read())
                 logl = data.get((("LogL", -1, -1, -1, -1), "Count"), 0.0)
-                current = m_step(current, stats, cfg)
+                if cfg.do_m_step:
+                    current = m_step(current, stats, cfg)
                 if cfg.vb:
                     vb_counts = (stats.coal_cnt, stats.mig_cnt)
                 result.demos.append(current)
@@ -845,6 +881,7 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
                         a["desc"], a["n"], start_position=a["start"],
                     )
 
+        clump = -1 if len(chunks) > 1 else None
         text = outfmt.stats_to_out(
             it,
             current.change_times,
@@ -854,7 +891,20 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
             cfg.num_particles,
             num_resamples=n_resample,
             sequence_len=float(seg.end),
+            clump=clump,
         )
+        if len(chunks) > 1:
+            # per-chunk Clump rows (merged-format contract, model.py:913-947:
+            # the per-iteration file carries aggregate rows at Clump -1 plus
+            # one row group per chunk; result.out keeps only the aggregates)
+            for ci, pc in enumerate(per_chunk):
+                text += outfmt.stats_to_out(
+                    it, current.change_times, pc[0], pc[1], pc[2],
+                    cfg.num_particles,
+                    num_resamples=pc[3]["num_resamples"],
+                    sequence_len=float(seg.end),
+                    clump=ci, header=False,
+                )
         result.out_text.append(text)
         if cfg.outdir:
             os.makedirs(os.path.join(cfg.outdir, f"emiter{it}"), exist_ok=True)
@@ -863,7 +913,9 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
             ) as fh:
                 fh.write(text)
 
-        current = m_step(current, stats, cfg)
+        if cfg.do_m_step:
+            # -no_m_step (model.py:1020-1022): keep parameters fixed
+            current = m_step(current, stats, cfg)
         if cfg.vb:
             vb_counts = (stats.coal_cnt, stats.mig_cnt)
         result.demos.append(current)
@@ -876,8 +928,15 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
         )
 
     if cfg.outdir:
+        # result.out passes through only aggregate rows (Clump -1 — or no
+        # Clump column at all for single-chunk runs): model.py:974-987
         with open(os.path.join(cfg.outdir, "result.out"), "w") as fh:
             fh.write(result.out_text[0].split("\n")[0] + "\n")
             for it in range(len(result.out_text) - 1, -1, -1):
-                fh.write("\n".join(result.out_text[it].split("\n")[1:]))
+                body = result.out_text[it].split("\n")[1:]
+                keep = [
+                    ln for ln in body
+                    if not ln or len(chunks) == 1 or ln.split()[-1] == "-1"
+                ]
+                fh.write("\n".join(keep))
     return result

@@ -31,6 +31,7 @@ HEADER = (
     f"{'From':>6} {'To':>6} {'Opp':>14} {'Count':>14} {'Rate':>14} "
     f"{'Ne':>14} {'ESS':>14}"
 )
+HEADER_CLUMP = HEADER + f" {'Clump':>6}"
 
 
 def append_rows(
@@ -45,8 +46,10 @@ def append_rows(
     opp: float,
     count: float,
     weight: float,
+    clump: int | None = None,
 ) -> None:
-    """One .out row (pfparam.cpp:500-527)."""
+    """One .out row (pfparam.cpp:500-527).  ``clump`` appends the merged
+    format's chunk-index column (model.py:917: -1 = aggregate row)."""
     rate = count / (opp + 1e-10)
     ne = (opp + 1e-10) / (2.0 * count) if etype == "Coal" else 0.0
     ess = 1.0 / (weight / opp + 1e-10) if opp > 0 else 1.0
@@ -55,6 +58,7 @@ def append_rows(
         f"{etype:>6} {from_pop:>6} {to_pop:>6} {format_double(opp)} "
         f"{format_double(count)} {format_double(rate)} {format_double(ne)} "
         f"{format_double(ess, 1.0, 3)}"
+        + ("" if clump is None else f" {clump:>6}")
     )
 
 
@@ -67,13 +71,23 @@ def stats_to_out(
     num_particles: int,
     num_resamples: int = 0,
     sequence_len: float = 0.0,
+    clump: int | None = None,
+    header: bool = True,
 ) -> str:
     """Render a committed SuffStats pair into .out text (count.cpp:66-158,
-    ``log_counts``).  ``stats``/``stats_wt`` are host numpy SuffStats."""
+    ``log_counts``).  ``stats``/``stats_wt`` are host numpy SuffStats.
+
+    ``clump`` adds the merged format's chunk-index column to every row
+    (model.py:913-947: -1 marks aggregate rows, >=0 per-chunk rows);
+    ``header=False`` omits the header line so per-chunk row groups can be
+    appended to an aggregate file."""
     E = len(change_times)
     ends = np.append(change_times[1:], 1e99)
     Pp = np.asarray(stats.coal_opp).shape[1]
-    lines = [HEADER]
+    if header:
+        lines = [HEADER if clump is None else HEADER_CLUMP]
+    else:
+        lines = []
     coal_opp = np.asarray(stats.coal_opp, dtype=np.float64)
     coal_cnt = np.asarray(stats.coal_cnt, dtype=np.float64)
     coal_wt = np.asarray(stats_wt.coal_opp, dtype=np.float64)
@@ -81,13 +95,13 @@ def stats_to_out(
         for p in range(Pp):
             append_rows(
                 lines, em_iter, e, change_times[e], ends[e], "Coal", p, -1,
-                coal_opp[e, p], coal_cnt[e, p], coal_wt[e, p],
+                coal_opp[e, p], coal_cnt[e, p], coal_wt[e, p], clump=clump,
             )
     # recombination: single aggregate row (count.cpp:104-113)
     r_opp = float(np.sum(np.asarray(stats.recomb_opp, dtype=np.float64)))
     r_cnt = float(np.sum(np.asarray(stats.recomb_cnt, dtype=np.float64)))
     r_wt = float(np.sum(np.asarray(stats_wt.recomb_opp, dtype=np.float64)))
-    append_rows(lines, em_iter, -1, 0.0, 1e99, "Recomb", -1, -1, r_opp, r_cnt, r_wt)
+    append_rows(lines, em_iter, -1, 0.0, 1e99, "Recomb", -1, -1, r_opp, r_cnt, r_wt, clump=clump)
     # migration rows
     mig_opp = np.asarray(stats.mig_opp, dtype=np.float64)
     mig_cnt = np.asarray(stats.mig_cnt, dtype=np.float64)
@@ -100,19 +114,22 @@ def stats_to_out(
                         append_rows(
                             lines, em_iter, e, change_times[e], ends[e], "Migr",
                             i, j, mig_opp[e, i], mig_cnt[e, i, j], mig_wt[e, i],
+                            clump=clump,
                         )
     # Delay / Resamp bookkeeping rows (count.cpp:135-157)
     append_rows(
         lines, em_iter, -1, 0.0, 1e99, "Delay", -1, -1,
-        max(sequence_len, 1e-10), 0.0, max(sequence_len, 1e-10),
+        max(sequence_len, 1e-10), 0.0, max(sequence_len, 1e-10), clump=clump,
     )
     append_rows(
         lines, em_iter, -1, 0.0, 1e99, "Resamp", -1, -1,
-        max(sequence_len, 1e-10), float(num_resamples), max(sequence_len, 1e-10),
+        max(sequence_len, 1e-10), float(num_resamples),
+        max(sequence_len, 1e-10), clump=clump,
     )
     # LogL row (smcsmc.cpp:391)
     append_rows(
-        lines, em_iter, -1, 0.0, 1e99, "LogL", -1, -1, 1.0, log_likelihood, 1.0
+        lines, em_iter, -1, 0.0, 1e99, "LogL", -1, -1, 1.0, log_likelihood,
+        1.0, clump=clump,
     )
     return "\n".join(lines) + "\n"
 
@@ -139,7 +156,13 @@ def parse_outfile(path_or_text: str, data=None, from_text: bool = False):
         opp = float(elts["Opp"])
         count = float(elts["Count"])
         ess = float(elts["ESS"])
-        key = (typ, epoch, frm, to, -1)
+        clump = int(elts.get("Clump", -1))
+        key = (typ, epoch, frm, to, clump)
+        # per-chunk rows accumulate only under their own clump key — unlike
+        # the reference (model.py:896-905), which also re-adds them to the
+        # aggregate key and relies on the M-step using only Opp/Count ratios;
+        # keeping the aggregate clean preserves absolute magnitudes for the
+        # resume path (_stats_from_outdata)
         data[(key, "Opp")] += opp
         data[(key, "Count")] += count
         data[(key, "Wt")] += max(0.0, (1.0 / ess - 1e-10)) * opp

@@ -166,6 +166,10 @@ class PFConfig:
     delay_slots: int = 32  # delayed-importance-factor ring capacity
     delay_k: int = 3  # k-step geometric application (particle.cpp:891)
     record_arg: bool = False  # keep a per-particle ARG event log (-arg)
+    # delayed-IW reference height (pfparam.hpp:282, particle.cpp:874-876):
+    # "recomb" = recombination point (default), "coal" = first coalescence
+    # (-delay_coal), "migr" = first coal-or-migration event (-delay_migr)
+    delay_type: str = "recomb"
     arg_slots: int = 512  # ring capacity of the ARG log (newest kept)
     # local recombination-guide recording (reference count.cpp:559-654);
     # num_windows > 0 enables it.  Windows are chunk-relative.
@@ -947,11 +951,39 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                 # unbiased section, and the rest (always including the guide
                 # part) with a per-epoch delay (particle.cpp:869-891)
                 log_w = log_w + jnp.where(active, rec.log_iw, 0.0)
-                immediate = jnp.abs(rec.point_strength - 1.0) < 1e-6
+                # delay reference height (particle.cpp:874-876): default is
+                # the recombination point; -delay_coal/-delay_migr key the
+                # delay (and the immediate-vs-delayed section lookup) off the
+                # first coalescence / first coal-or-migration event instead
+                if cfg.delay_type == "coal":
+                    d_h = rec.coal_height
+                elif cfg.delay_type == "migr":
+                    d_h = rec.coal_height
+                    if rec.mig_ev_t is not None:
+                        first_mig = jnp.min(
+                            jnp.where(
+                                rec.mig_ev_t < 0.5 * INF, rec.mig_ev_t, INF
+                            ),
+                            axis=1,
+                        )
+                        d_h = jnp.minimum(d_h, first_mig)
+                else:
+                    d_h = rec.recomb_height
+                if cfg.use_bias and cfg.delay_type != "recomb":
+                    # re-derive the bias strength at the delay height
+                    # (particle.cpp:877-879 section walk)
+                    sec = jnp.clip(
+                        jnp.searchsorted(bias_heights, d_h, side="right") - 1,
+                        0, bias_strengths.shape[0] - 1,
+                    )
+                    strength_h = bias_strengths[sec]
+                else:
+                    strength_h = rec.point_strength
+                immediate = jnp.abs(strength_h - 1.0) < 1e-6
                 imm_log = jnp.where(immediate, rec.log_iw_bias, 0.0)
                 del_log = rec.log_iw - imm_log
                 log_pilot = log_pilot + jnp.where(active, imm_log, 0.0)
-                e_h = _epoch_index(epochs.start, rec.recomb_height)  # [P]
+                e_h = _epoch_index(epochs.start, d_h)  # [P]
                 delay = jnp.sum(
                     jnp.where(e_h[:, None] == jnp.arange(E)[None, :],
                               delays[None, :], 0.0),
