@@ -353,6 +353,54 @@ def build_tables(events: np.ndarray, sequence_length: float,
     }
 
 
+def migration_attach_node(desc: int) -> int:
+    """The node a migration row attaches to: tskit migrations reference a
+    single node, while the event stream carries the whole migrating leaf
+    cluster as a bitmask — attach to the LOWEST sample leaf of the cluster
+    (reference trees2tskit.py keys migrations by descendant set; the lowest
+    member is the deterministic representative)."""
+    d = int(desc)
+    return (d & -d).bit_length() - 1  # lowest set bit
+
+
+def assemble_tables(tb: dict, sequence_length: float, tskit_mod,
+                    num_populations: int | None = None):
+    """Fill a tskit TableCollection from :func:`build_tables` output.
+
+    ``tskit_mod`` is the tskit module (or an API-compatible stand-in with
+    ``TableCollection``, ``NODE_IS_SAMPLE``, ``NULL``) — injected so the
+    assembly logic is testable in environments without tskit installed."""
+    tables = tskit_mod.TableCollection(
+        sequence_length=float(sequence_length)
+    )
+    pops = num_populations or max(
+        1, int(tb["nodes"]["population"].max()) + 1
+    )
+    for _ in range(pops):
+        tables.populations.add_row()
+    for t, p, s in zip(tb["nodes"]["time"], tb["nodes"]["population"],
+                       tb["nodes"]["is_sample"]):
+        tables.nodes.add_row(
+            flags=tskit_mod.NODE_IS_SAMPLE if s else 0,
+            time=float(t),
+            population=int(p) if p >= 0 else tskit_mod.NULL,
+        )
+    for e in tb["edges"]:
+        tables.edges.add_row(
+            left=float(e["left"]), right=float(e["right"]),
+            parent=int(e["parent"]), child=int(e["child"]),
+        )
+    for m in tb["migrations"]:
+        tables.migrations.add_row(
+            left=float(m["left"]), right=float(m["right"]),
+            node=migration_attach_node(m["desc"]),
+            source=int(m["source"]), dest=int(m["dest"]),
+            time=float(m["time"]),
+        )
+    tables.sort()
+    return tables
+
+
 def trees_to_tskit(trees_path: str, sequence_length: float,
                    num_populations: int | None = None):
     """Convert a .trees.gz event stream into a tskit TableCollection
@@ -368,34 +416,4 @@ def trees_to_tskit(trees_path: str, sequence_length: float,
         ) from e
     ev = read_trees(trees_path)
     tb = build_tables(ev, sequence_length)
-    tables = tskit.TableCollection(sequence_length=float(sequence_length))
-    pops = num_populations or max(
-        1, int(tb["nodes"]["population"].max()) + 1
-    )
-    for _ in range(pops):
-        tables.populations.add_row()
-    for t, p, s in zip(tb["nodes"]["time"], tb["nodes"]["population"],
-                       tb["nodes"]["is_sample"]):
-        tables.nodes.add_row(
-            flags=tskit.NODE_IS_SAMPLE if s else 0,
-            time=float(t),
-            population=int(p) if p >= 0 else tskit.NULL,
-        )
-    for e in tb["edges"]:
-        tables.edges.add_row(
-            left=float(e["left"]), right=float(e["right"]),
-            parent=int(e["parent"]), child=int(e["child"]),
-        )
-    for m in tb["migrations"]:
-        # attach to the lowest sample leaf of the migrating cluster (tskit
-        # migrations reference a node; the cluster is in metadata-free form)
-        leaf = int(m["desc"]).bit_length() - 1
-        d = int(m["desc"])
-        leaf = (d & -d).bit_length() - 1  # lowest set bit
-        tables.migrations.add_row(
-            left=float(m["left"]), right=float(m["right"]), node=leaf,
-            source=int(m["source"]), dest=int(m["dest"]),
-            time=float(m["time"]),
-        )
-    tables.sort()
-    return tables
+    return assemble_tables(tb, sequence_length, tskit, num_populations)

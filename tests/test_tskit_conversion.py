@@ -116,3 +116,113 @@ class TestBuildTables:
         ts = tables.tree_sequence()
         assert ts.num_samples == 4
         assert ts.num_trees >= 1
+
+
+class _StubTable:
+    def __init__(self):
+        self.rows = []
+
+    def add_row(self, **kw):
+        self.rows.append(kw)
+        return len(self.rows) - 1
+
+
+class _StubTables:
+    """tskit.TableCollection stand-in recording exactly the rows the
+    assembly adds (so the assembly code path executes without tskit —
+    round-3 verdict #9)."""
+
+    def __init__(self, sequence_length):
+        self.sequence_length = sequence_length
+        self.populations = _StubTable()
+        self.nodes = _StubTable()
+        self.edges = _StubTable()
+        self.migrations = _StubTable()
+        self.sorted = False
+
+    def sort(self):
+        self.sorted = True
+
+
+class _StubTskit:
+    TableCollection = _StubTables
+    NODE_IS_SAMPLE = 1
+    NULL = -1
+
+
+class TestAssembleTables:
+    """Executes the TableCollection assembly (argout.assemble_tables — the
+    code trees_to_tskit runs under real tskit) against an API-compatible
+    stub, since tskit is not installable in this environment."""
+
+    def test_migration_attach_node_rule(self):
+        from smcsmc_tpu.argout import migration_attach_node
+
+        assert migration_attach_node(0b0001) == 0
+        assert migration_attach_node(0b0110) == 1  # lowest member of {1,2}
+        assert migration_attach_node(0b1000) == 3
+        assert migration_attach_node(0b1010) == 1
+
+    def test_hand_built_stream_golden(self, tmp_path):
+        """Golden check on a hand-built event stream: 4 leaves, initial
+        tree (3 C rows at pos 0), one recombination + re-coalescence at
+        pos 40, one migration hop on the {2,3} branch."""
+        from smcsmc_tpu.argout import assemble_tables
+
+        ev = np.array(
+            [
+                ("C", 0.0, 1000.0, 0, -1, 0b0011),
+                ("C", 0.0, 2000.0, 0, -1, 0b1100),
+                ("C", 0.0, 3000.0, 0, -1, 0b1111),
+                ("M", 0.0, 1500.0, 1, 0, 0b1100),
+                ("R", 40.0, 500.0, -1, -1, 0b0001),
+                ("C", 40.0, 1200.0, 0, -1, 0b0011),
+            ],
+            dtype=[("code", "U1"), ("pos", "f8"), ("time", "f8"),
+                   ("from", "i4"), ("to", "i4"), ("desc", "u8")],
+        )
+        L = 100.0
+        tb = build_tables(ev, L)
+        tables = assemble_tables(tb, L, _StubTskit, num_populations=2)
+        assert tables.sorted
+        assert len(tables.populations.rows) == 2
+        # 4 sample nodes + internal nodes
+        node_rows = tables.nodes.rows
+        samples = [r for r in node_rows if r["flags"] == 1]
+        assert len(samples) == 4
+        assert all(r["time"] == 0.0 for r in samples)
+        internal_times = sorted(
+            r["time"] for r in node_rows if r["flags"] == 0
+        )
+        assert 1000.0 in internal_times and 3000.0 in internal_times
+        assert 1200.0 in internal_times  # the re-coalescence's new node
+        # every edge references valid nodes and spans inside [0, L]
+        for e in tables.edges.rows:
+            assert 0.0 <= e["left"] < e["right"] <= L
+            assert 0 <= e["child"] < len(node_rows)
+            assert 0 <= e["parent"] < len(node_rows)
+        # the migration row attached to leaf 2 (lowest of cluster {2,3})
+        migs = tables.migrations.rows
+        assert len(migs) == 1
+        assert migs[0]["node"] == 2
+        assert migs[0]["source"] == 1 and migs[0]["dest"] == 0
+        assert migs[0]["time"] == 1500.0
+
+    def test_real_stream_assembles(self, tmp_path):
+        """The full pipeline (sweep -> .trees.gz -> build_tables ->
+        assemble_tables) runs on an island-model event stream with real
+        migration rows."""
+        from smcsmc_tpu.argout import assemble_tables, migration_attach_node
+
+        L = 2e5
+        path = _arg_run(_island(L), seed=62, fseed=9, tmp_path=tmp_path)
+        ev = read_trees(path)
+        tb = build_tables(ev, L)
+        tables = assemble_tables(tb, L, _StubTskit)
+        assert len(tables.populations.rows) == 2
+        assert len(tables.nodes.rows) == len(tb["nodes"]["time"])
+        assert len(tables.edges.rows) == len(tb["edges"])
+        assert len(tables.migrations.rows) == len(tb["migrations"]) > 0
+        for m_row, m in zip(tables.migrations.rows, tb["migrations"]):
+            assert m_row["node"] == migration_attach_node(m["desc"])
+            assert 0 <= m_row["node"] < 4
