@@ -197,6 +197,32 @@ def parse_scrm_args(args: list[str] | str, n0: float = 10000.0) -> Demography:
         args = args.split()
     opts = list(args)
 
+    # scrm accepts timed options in any order (it sorts model events by
+    # time); reproduce that by stable-sorting the timed flag groups while
+    # keeping non-timed groups (incl. -I, which must precede them) first
+    _TIMED = {"-eI", "-ej", "-eM", "-ema", "-em", "-eN", "-en"}
+    groups: list[tuple[float | None, list[str]]] = []
+    i = 0
+    while i < len(opts):
+        o = opts[i]
+        grp = [o]
+        i += 1
+        while i < len(opts) and not (
+            opts[i].startswith("-")
+            and not opts[i][1:].replace(".", "", 1).isdigit()
+        ):
+            grp.append(opts[i])
+            i += 1
+        if o in _TIMED and len(grp) > 1:
+            groups.append((float(grp[1]), grp))
+        else:
+            groups.append((None, grp))
+    untimed = [tok for t, g in groups if t is None for tok in g]
+    timed = sorted(
+        ((t, g) for t, g in groups if t is not None), key=lambda x: x[0]
+    )
+    opts = untimed + [tok for _, g in timed for tok in g]
+
     # first pass: find -N0 (affects all unit conversions)
     nsam = None
     seed = None

@@ -16,7 +16,7 @@ Usage (one process per host / per chunk group):
     dist.initialize(coordinator, num_processes, process_id)
     stats, stats_wt, logl, diag = run_chunk(demo, seg, cfg,
                                             chunk=my_chunks[process_id], ...)
-    stats = dist.allreduce_stats(stats)          # DCN psum
+    stats = dist.allreduce_stats(stats)  # DCN allgather + f64 host sum
     logl = dist.allreduce_scalar(logl)
 
 Tested by tests/test_multihost.py with two coordinated CPU processes.
@@ -47,11 +47,15 @@ def is_initialized() -> bool:
 
 
 def allreduce_array(x: np.ndarray) -> np.ndarray:
-    """Sum a replicated host array across processes (DCN all-reduce).
+    """Sum a host array across processes.
 
-    Built on a global 1-D process mesh with one device per process and a
-    ``shard_map`` psum — the idiomatic JAX cross-host reduction; XLA routes
-    it over DCN between hosts."""
+    Implementation: ``multihost_utils.process_allgather`` (the gather rides
+    DCN between hosts) followed by a host-side ``np.sum`` — NOT a
+    device-side psum.  That is the right trade here: the reduced tensors
+    are O(epochs × pops²) floats moved once per EM iteration, and the f64
+    host sum avoids f32 accumulation error on the statistics; a shard_map
+    psum would save nothing measurable while forcing the tensors through
+    device dtypes."""
     from jax.experimental import multihost_utils
 
     if jax.process_count() == 1:

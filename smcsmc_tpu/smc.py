@@ -737,10 +737,13 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
     if cfg.use_pallas is None:
         # default OFF: on the axon v5e runtime the fused kernel measures
         # ~117 us/trip device-side vs ~100 us for the XLA op chain, and its
-        # operand marshaling adds layout copies — net slower end-to-end
-        # (1.15 vs 0.61 ms/segment at P=10k).  The kernel is kept as a
-        # tested opt-in (use_pallas=True) for runtimes where pallas_call
-        # invocation is cheaper; see kernels/pallas_trip.py.
+        # operand marshaling adds layout copies — net slower end-to-end.
+        # Round-4 measured ledger (BASELINE.md "Perf ledger"): the XLA path
+        # runs 0.95 ms/segment steady-state at P=10k (block=1024, warm
+        # tunnel, ~10.5M updates/s device-side); end-to-end bench wall is
+        # 0.9-1.6 ms/segment depending on tunnel state.  The kernel is kept
+        # as a tested opt-in (use_pallas=True) for runtimes where
+        # pallas_call invocation is cheaper; see kernels/pallas_trip.py.
         use_pallas = False
         pallas_interpret = False
     else:
