@@ -6,9 +6,12 @@
 
 PY := env PYTHONPATH=$(CURDIR) JAX_PLATFORMS=cpu python
 
-native: smcsmc_tpu/_segscan.so
+native: smcsmc_tpu/_segscan.so smcsmc_tpu/_lookahead.so
 
 smcsmc_tpu/_segscan.so: native/segscan.c
+	gcc -O3 -march=native -shared -fPIC -o $@ $<
+
+smcsmc_tpu/_lookahead.so: native/lookahead.c
 	gcc -O3 -march=native -shared -fPIC -o $@ $<
 
 test:
@@ -21,8 +24,11 @@ bench:
 	python bench.py
 
 # TPU smoke tier: ONE serial pytest job against the real device (run after
-# any TPU-touching change; the tunnel is single-client).
+# any TPU-touching change; the tunnel is single-client).  Includes the
+# reference-precision statistical gates (test_tpu_stat_gates.py) — first
+# run compiles several shapes (~10-20 min via the tunnel); warm-cache runs
+# take a few minutes.
 tpu-smoke:
-	env PYTHONPATH=$(CURDIR):$(PYTHONPATH) SMCSMC_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py -x -q
+	env PYTHONPATH=$(CURDIR):$(PYTHONPATH) SMCSMC_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py tests/test_tpu_stat_gates.py -x -q
 
 .PHONY: test test-all bench native tpu-smoke

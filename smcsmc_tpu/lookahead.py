@@ -80,8 +80,95 @@ def _pad_block(la: LookaheadData, pad: int) -> LookaheadData:
     )
 
 
+def _native_lookahead():
+    """ctypes handle to the C scan (native/lookahead.c), if built."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    import ctypes
+    import os
+
+    so = os.path.join(os.path.dirname(__file__), "_lookahead.so")
+    if not os.path.exists(so):
+        _NATIVE = False
+        return None
+    lib = ctypes.CDLL(so)
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.lookahead_scan.restype = None
+    lib.lookahead_scan.argtypes = [
+        ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        f64p, f64p, i8p, u8p,
+        f32p, f32p, u8p, i32p, i32p, f32p, f32p, u8p, u8p,
+        f32p, i8p, i32p,
+    ]
+    _NATIVE = lib
+    return lib
+
+
+_NATIVE = None
+
+
 def compute_lookahead(seg: SegData, max_doubletons: int | None = None) -> LookaheadData:
-    """Scan-forward APF statistics for every segment (segdata.cpp:225-410)."""
+    """Scan-forward APF statistics for every segment (segdata.cpp:225-410).
+
+    Dispatches to the C scanner (native/lookahead.c) when built — the
+    Python scan below is the oracle (~3 ms/segment at n=8; the C path is
+    >100x faster) and the fallback."""
+    lib = _native_lookahead()
+    if lib is not None:
+        return _compute_lookahead_native(lib, seg, max_doubletons)
+    return compute_lookahead_py(seg, max_doubletons)
+
+
+def _compute_lookahead_native(lib, seg: SegData, max_doubletons):
+    S, n = seg.alleles.shape
+    if n > 64:
+        return compute_lookahead_py(seg, max_doubletons)
+    D = min(max_doubletons or max(n, 2), 256)
+    pos = np.ascontiguousarray(seg.positions, np.float64)
+    ln = np.ascontiguousarray(seg.lengths, np.float64)
+    al = np.ascontiguousarray(seg.alleles, np.int8)
+    is_mut_row = np.ascontiguousarray(
+        ((seg.states == SEGMENT_INVARIANT) & np.any(al > 0, axis=1)).astype(
+            np.uint8
+        )
+    )
+    out = LookaheadData(
+        fsd=np.zeros((S, n), np.float32),
+        rel_mu=np.ones((S, n), np.float32),
+        unphased=np.zeros((S, n), np.uint8),
+        dbl_s1=-np.ones((S, D), np.int32),
+        dbl_s2=-np.ones((S, D), np.int32),
+        dbl_first=np.zeros((S, D), np.float32),
+        dbl_last=np.zeros((S, D), np.float32),
+        dbl_unph1=np.zeros((S, D), np.uint8),
+        dbl_unph2=np.zeros((S, D), np.uint8),
+        split_dist=-np.ones(S, np.float32),
+        split_alleles=-np.ones((S, n), np.int8),
+        split_k=np.zeros(S, np.int32),
+    )
+    lib.lookahead_scan(
+        S, n, D, pos, ln, al, is_mut_row,
+        out.fsd, out.rel_mu, out.unphased,
+        out.dbl_s1, out.dbl_s2, out.dbl_first, out.dbl_last,
+        out.dbl_unph1, out.dbl_unph2,
+        out.split_dist, out.split_alleles, out.split_k,
+    )
+    return LookaheadData(
+        fsd=out.fsd, rel_mu=out.rel_mu, unphased=out.unphased.astype(bool),
+        dbl_s1=out.dbl_s1, dbl_s2=out.dbl_s2, dbl_first=out.dbl_first,
+        dbl_last=out.dbl_last, dbl_unph1=out.dbl_unph1.astype(bool),
+        dbl_unph2=out.dbl_unph2.astype(bool), split_dist=out.split_dist,
+        split_alleles=out.split_alleles, split_k=out.split_k,
+    )
+
+
+def compute_lookahead_py(seg: SegData, max_doubletons: int | None = None) -> LookaheadData:
+    """Pure-Python oracle for the lookahead scan (see compute_lookahead)."""
     S, n = seg.alleles.shape
     D = max_doubletons or max(n, 2)
     pos = seg.positions.astype(np.float64)

@@ -208,6 +208,39 @@ class TestComputeLookahead:
         assert la.fsd[0, 1] == pytest.approx(-_EPS)
 
 
+class TestNativeLookahead:
+    """The C scanner (native/lookahead.c) against the Python oracle."""
+
+    def test_native_matches_oracle(self):
+        from smcsmc_tpu.lookahead import (
+            _native_lookahead,
+            compute_lookahead_py,
+        )
+
+        if _native_lookahead() is None:
+            pytest.skip("native/_lookahead.so not built (run `make native`)")
+        demo = _demo(n=8, L=5e5)
+        demo.sample_pops = np.zeros(8, dtype=np.int32)
+        seg = simulate_seg(demo, seed=43)
+        # punch in missing windows and unphase a pair to cover every branch
+        al = seg.alleles.copy()
+        al[(seg.positions // 50_000) % 3 == 1, 2] = -1
+        het = (al[:, 0] + al[:, 1] == 1) & (al[:, 0] >= 0)
+        al[het, 0] = 2
+        al[het, 1] = 2
+        seg = SegData(positions=seg.positions, lengths=seg.lengths,
+                      states=seg.states, alleles=al,
+                      phased=np.array([False, False] + [True] * 6))
+        la_c = compute_lookahead(seg)
+        la_p = compute_lookahead_py(seg)
+        for f in la_c.__dataclass_fields__:
+            np.testing.assert_allclose(
+                np.asarray(getattr(la_c, f), np.float64),
+                np.asarray(getattr(la_p, f), np.float64),
+                rtol=1e-6, atol=1e-6, err_msg=f,
+            )
+
+
 @pytest.mark.slow
 class TestAPFNoDataInvariance:
     @pytest.mark.parametrize("apf", [1, 2])

@@ -1,8 +1,10 @@
 """The fused Pallas trip kernel vs the XLA oracle path.
 
 Interpret mode runs the kernel's math on CPU, so these tests pin the
-kernel's semantics without TPU hardware; `make tpu-smoke` covers the
-compiled kernel on the real device.
+kernel's semantics without TPU hardware; the compiled (Mosaic) kernel is
+gated on the real device by
+``tests/test_tpu_smoke.py::test_pallas_compiled_matches_xla``
+(run via ``make tpu-smoke``).
 """
 
 import jax

