@@ -179,11 +179,16 @@ def test_unidir_migration_per_epoch():
     1->0 at 2.5e-5 constant, 1e7 bp, n=8, Np=1000, EM=2 starting from a
     symmetric half-rate guess.
 
-    Pre-registered per-epoch directional intervals (pilot seed 101; cf.
-    the reference's own bands, which span [0.06, 1.2]x truth across
-    epochs): at every iteration, in epochs 0 and 1,
-    - m10 within [0.4x, 2.0x] of 2.5e-5;
-    - m10 > 2x m01 (directionality; truth m01 = 0)."""
+    Pre-registered per-epoch directional intervals at the FINAL iteration
+    (EM sharpens the direction: pilot seed 101 measured m10 per epoch
+    [0.66x, 1.00x, 0.84x] of truth with m01 -> ~0 in epochs 0-1).  For
+    calibration: the reference's own pre-registered bands
+    (test_migration.py:36-41) accept [0.06x, 0.34x] of truth in epoch 0
+    and estimate the FALSE direction at ~1x truth in epoch 2, so per-epoch
+    directionality there is gated only for epochs 0-1:
+    - m10[e] within [0.4x, 1.3x] of 2.5e-5 for all three epochs;
+    - m10 > 3x m01 in epochs 0 and 1;
+    - per-epoch Ne within +-20%; recomb rate within [0.9e-9, 1.25e-9]."""
     truth = unidir_demo()
     seg = simulate_seg(truth, seed=101)
     start = unidir_demo()
@@ -192,8 +197,15 @@ def test_unidir_migration_per_epoch():
     start.mig_rates[:, 0, 1] = 1.25e-5
     cfg = EMConfig(num_particles=1000, block_size=1024, em_iters=2)
     res = run_em(start, seg, cfg)
-    for it, st in enumerate(res.stats):
-        m = st.mig_cnt / np.maximum(st.mig_opp[:, :, None], 1e-300)
-        for e in (0, 1):
-            assert 0.4 * 2.5e-5 < m[e, 1, 0] < 2.0 * 2.5e-5, (it, e, m[e])
-            assert m[e, 1, 0] > 2.0 * m[e, 0, 1], (it, e, m[e])
+    st = res.stats[-1]
+    m = st.mig_cnt / np.maximum(st.mig_opp[:, :, None], 1e-300)
+    for e in (0, 1, 2):
+        assert 0.4 * 2.5e-5 < m[e, 1, 0] < 1.3 * 2.5e-5, (e, m[e])
+    for e in (0, 1):
+        assert m[e, 1, 0] > 3.0 * m[e, 0, 1], (e, m[e])
+    ne = st.coal_opp / (2.0 * st.coal_cnt)
+    np.testing.assert_allclose(ne, 10000.0, rtol=0.20)
+    r = float(st.recomb_cnt.sum() / st.recomb_opp.sum())
+    assert 0.9e-9 < r < 1.25e-9, r
+    # the log-likelihood must not degrade across iterations
+    assert res.log_likelihoods[-1] > res.log_likelihoods[0] - 500.0
