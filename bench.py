@@ -250,7 +250,7 @@ print("TWOPOP_RESULT " + json.dumps({{
     "logl": float(logl), "updates_per_s": P * segments / dt,
 }}))
 """
-    return _run_sub(code, "TWOPOP_RESULT", timeout=900)
+    return _run_sub(code, "TWOPOP_RESULT", timeout=2400)
 
 
 def run_feature(name: str, P: int = 10000) -> dict | None:
@@ -289,6 +289,24 @@ seg = simulate_seg(demo, seed=11)
 cfg = EMConfig(num_particles={P}, block_size=2048, apf=2)
 kw = {{}}
 """
+    elif name == "apf8":
+        # BASELINE.json config 4: 8 haplotypes, 10k particles, lookahead
+        # weighting, variable data (missing windows + unphased pairs)
+        setup = f"""
+from smcsmc_tpu.segio import SegData
+demo = single_pop_demo(n=8)
+seg = simulate_seg(demo, seed=11)
+al = seg.alleles.copy()
+al[(seg.positions // 100_000) % 4 == 1] = -1          # missing windows
+het = (al[:, 0] + al[:, 1] == 1) & (al[:, 0] >= 0)
+al[het, 0] = 2
+al[het, 1] = 2                                        # unphased pair 0/1
+seg = SegData(positions=seg.positions, lengths=seg.lengths,
+              states=seg.states, alleles=al,
+              phased=np.array([False, False] + [True] * 6))
+cfg = EMConfig(num_particles={P}, block_size=2048, apf=2, apf_trees=50000)
+kw = {{}}
+"""
     elif name == "p50k":
         setup = f"""
 demo = single_pop_demo()
@@ -309,7 +327,7 @@ print("FEATURE_RESULT " + json.dumps({{
     "logl": float(logl), "updates_per_s": {P} * segments / dt,
 }}))
 """
-    return _run_sub(code, "FEATURE_RESULT", timeout=900)
+    return _run_sub(code, "FEATURE_RESULT", timeout=2400)
 
 
 def main():
@@ -336,7 +354,7 @@ def main():
     configs = {}
     if not quick:
         configs["twopop_em_iter"] = run_twopop_em(P)
-        for feat in ["bias_guide", "vb", "apf"]:
+        for feat in ["bias_guide", "vb", "apf", "apf8"]:
             configs[f"feature_{feat}"] = run_feature(feat, P)
         configs["p50k"] = run_feature("p50k", 50000)
 

@@ -464,12 +464,24 @@ def run_chunk(
                 resume_block,
             )
 
+    # TPU runtime hazard (bisected 2026-08-21, fresh-process reproducible):
+    # the migration sweep faults the TPU worker ("kernel fault") whenever
+    # num_particles x scan_length reaches 2^20 — measured boundary:
+    # 1000x1024 and 4096x128 run, 4096x256 (= exactly 2^20), 1000x2048 and
+    # 10000x128 crash; the plain no-migration sweep is fine at 10000x2048
+    # (p50k bench).  Looks like an i32/lane-count overflow in the compiled
+    # migration program.  Cap P*block <= 2^19 (2x safety margin).
+    block_size = cfg.block_size
+    if pfcfg.has_migration and jax.default_backend() not in ("cpu",):
+        cap = max(16, (2 ** 19) // max(cfg.num_particles, 1))
+        block_size = min(block_size, cap)
+
     ess_traces = []
     resample_rows = []  # (genome position, ESS) at each resample event
     next_update = cfg.online_threshold
     cur_demo = demo
     for bi, block in enumerate(prepare_blocks(
-        seg, cfg.block_size, chunk_start, max_configs=max_configs,
+        seg, block_size, chunk_start, max_configs=max_configs,
         dephase=cfg.dephase, lookahead=la,
     )):
         if resume_block is not None and bi <= resume_block:

@@ -351,7 +351,23 @@ def _walk_mig_batched(
     rowid = jnp.arange(P)
     pt = jax.vmap(parent_time)(time, parent)  # [P, N]
     root = jnp.argmax(parent < 0, axis=1).astype(jnp.int32)  # [P]
-    root_h = time[rowid, root]
+
+    # one-hot pickers (gather-free: batched gathers / take_along_axis
+    # lower to serializing scatter-gather custom calls on TPU — converting
+    # them cut the walk's per-iteration cost ~10x and sidesteps a runtime
+    # kernel fault at num_particles x scan_length >= 2^20)
+    def pick_nodes(arr, idx):
+        """arr [P, N(, ...)], idx [P] -> arr[p, idx[p]] via one-hot."""
+        oh = (jnp.arange(N)[None, :] == idx[:, None])
+        oh = oh.reshape(P, N, *([1] * (arr.ndim - 2)))
+        return jnp.sum(jnp.where(oh, arr, 0), axis=1)
+
+    def pick_last(val, k):
+        """val [P, Mw] (or [P, N, Mw]), k counts -> val[..., k-1] one-hot."""
+        oh = jnp.arange(Mw) == (k - 1)[..., None]
+        return jnp.sum(jnp.where(oh, val, 0), axis=-1)
+
+    root_h = pick_nodes(time, root)
     # static breakpoints: node times, epoch starts, all branch migration times
     bks = jnp.concatenate(
         [time, jnp.broadcast_to(epochs.start, (P, E)),
@@ -359,20 +375,23 @@ def _walk_mig_batched(
         axis=1,
     )  # [P, N+E+N*Mw]
 
+    # per-epoch lookup tables (small [E, ...] -> picked via [P, E] one-hots)
+    pop_map_i = epochs.pop_map.astype(jnp.int32)  # [E, Pp]
+    tot_mig = jnp.sum(epochs.mig, axis=2)  # [E, Pp]
+    arangePp = jnp.arange(Pp)
+
     # the floating lineage starts in branch c's population AT the cut height
     # (after c's own migration events below h_r)
-    mt_c = mig_time[rowid, c]  # [P, Mw]
-    md_c = mig_dest[rowid, c]
+    mt_c = pick_nodes(mig_time, c)  # [P, Mw]
+    md_c = pick_nodes(mig_dest, c)
     k0 = jnp.sum(mt_c <= h_r[:, None], axis=1)
-    p_raw0 = jnp.where(
-        k0 > 0, md_c[rowid, jnp.maximum(k0 - 1, 0)], pop[rowid, c]
-    )
+    p_raw0 = jnp.where(k0 > 0, pick_last(md_c, k0), pick_nodes(pop, c))
 
     init = dict(
         key=key,
         t=h_r,
         p_raw=p_raw0,
-        r_raw=pop[rowid, root],  # root ancestral lineage pop (pairwise phase)
+        r_raw=pick_nodes(pop, root),  # root lineage pop (pairwise phase)
         done=~active,
         t_c=jnp.zeros((P,)),
         d=jnp.full((P,), -1, jnp.int32),
@@ -398,31 +417,44 @@ def _walk_mig_batched(
         go = ~s["done"]
         t = s["t"]
         e = _epoch_index(epochs.start, t)  # [P]
-        pm = epochs.pop_map[e]  # [P, Pp]
-        p_cur = jnp.take_along_axis(pm, s["p_raw"][:, None], axis=1)[:, 0]
-        r_cur = jnp.take_along_axis(pm, s["r_raw"][:, None], axis=1)[:, 0]
+        oh_e = e[:, None] == jnp.arange(E)[None, :]  # [P, E]
+        pm = jnp.sum(
+            jnp.where(oh_e[:, :, None], pop_map_i[None], 0), axis=1
+        )  # [P, Pp] current epoch's population fold
+        oh_praw = s["p_raw"][:, None] == arangePp[None, :]  # [P, Pp]
+        oh_rraw = s["r_raw"][:, None] == arangePp[None, :]
+        p_cur = jnp.sum(jnp.where(oh_praw, pm, 0), axis=1)
+        r_cur = jnp.sum(jnp.where(oh_rraw, pm, 0), axis=1)
+        oh_pcur = p_cur[:, None] == arangePp[None, :]  # [P, Pp]
+        oh_rcur = r_cur[:, None] == arangePp[None, :]
         above_root = t >= root_h
         # branch populations at time t (batched branch_pop_at)
         k_ev = jnp.sum(mig_time <= t[:, None, None], axis=2)  # [P, N]
-        last = jnp.where(
-            k_ev > 0,
-            jnp.take_along_axis(
-                mig_dest, jnp.maximum(k_ev - 1, 0)[:, :, None], axis=2
-            )[:, :, 0],
-            pop,
-        )
-        bp = jnp.take_along_axis(pm, last, axis=1)  # [P, N]
+        last = jnp.where(k_ev > 0, pick_last(mig_dest, k_ev), pop)  # [P, N]
+        bp = jnp.sum(
+            jnp.where(last[:, :, None] == arangePp[None, None, :],
+                      pm[:, None, :], 0),
+            axis=2,
+        )  # [P, N]
         # the root's ancestral lineage population is dynamic state
         bp = jnp.where(jnp.arange(N)[None, :] == root[:, None],
                        r_cur[:, None], bp)
         crossing = (time <= t[:, None]) & (t[:, None] < pt)  # [P, N]
         cand = crossing & (bp == p_cur[:, None])
         k_same = jnp.sum(cand, axis=1).astype(jnp.float32)  # [P]
-        ne_cur = epochs.ne[e][rowid, p_cur]
+        ne_row = jnp.sum(
+            jnp.where(oh_e[:, :, None], epochs.ne[None], 0.0), axis=1
+        )  # [P, Pp]
+        ne_cur = jnp.sum(jnp.where(oh_pcur, ne_row, 0.0), axis=1)
         coal_rate = k_same / (2.0 * ne_cur)
-        mig_rate = jnp.sum(epochs.mig[e][rowid, p_cur], axis=1)
+        totmig_row = jnp.sum(
+            jnp.where(oh_e[:, :, None], tot_mig[None], 0.0), axis=1
+        )  # [P, Pp]
+        mig_rate = jnp.sum(jnp.where(oh_pcur, totmig_row, 0.0), axis=1)
         root_mig_rate = jnp.where(
-            above_root, jnp.sum(epochs.mig[e][rowid, r_cur], axis=1), 0.0
+            above_root,
+            jnp.sum(jnp.where(oh_rcur, totmig_row, 0.0), axis=1),
+            0.0,
         )
         total = coal_rate + mig_rate + root_mig_rate
         t_bk = jnp.min(jnp.where(bks > t[:, None], bks, INF), axis=1)
@@ -468,7 +500,11 @@ def _walk_mig_batched(
 
         # migration lanes: sample destination for whichever lineage moves
         mover = jnp.where(is_root_mig, r_cur, p_cur)
-        w = epochs.mig[e][rowid, mover]  # [P, Pp]
+        oh_mover = mover[:, None] == arangePp[None, :]  # [P, Pp]
+        mig_row = jnp.sum(
+            oh_e[:, :, None, None] * epochs.mig[None], axis=1
+        )  # [P, Pp, Pp] (oh_e here is the float opportunity one-hot)
+        w = jnp.sum(jnp.where(oh_mover[:, :, None], mig_row, 0.0), axis=1)
         dest = jax.random.categorical(
             k4, jnp.log(jnp.maximum(w, 1e-30)), axis=-1
         ).astype(jnp.int32)

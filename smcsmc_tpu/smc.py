@@ -29,7 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+
 from .kernels.likelihood import site_log_likelihood
+
+# experiment switch for the site-likelihood cond (see make_segment_step)
+_SITE_NOCOND = bool(_os.environ.get("SMCSMC_SITE_NOCOND"))
 from .kernels.transition import _epoch_index, recombination_transition
 from .kernels.tree import (
     INF,
@@ -1144,9 +1149,17 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
             return lw + ll, (lp + ll if track_pilot else lp)
 
         apply_site = (seg_state == 0) & (leaf_status != -1)  # SEGMENT_INVARIANT
-        log_w, log_pilot = jax.lax.cond(
-            apply_site, with_site, lambda ws: ws, (log_w, log_pilot)
-        )
+        if _SITE_NOCOND:
+            # unconditional likelihood + where-select: dodges a TPU runtime
+            # kernel fault in the cond-wrapped likelihood inside the
+            # migration sweep (see em.run_chunk's block-size note)
+            lw2, lp2 = with_site((log_w, log_pilot))
+            log_w = jnp.where(apply_site, lw2, log_w)
+            log_pilot = jnp.where(apply_site, lp2, log_pilot)
+        else:
+            log_w, log_pilot = jax.lax.cond(
+                apply_site, with_site, lambda ws: ws, (log_w, log_pilot)
+            )
 
         # ---- push pending increments into FIFO slot 0 ---------------------
         # max_epoch_to_update (smcsmc.cpp:266-275): during long stretches
