@@ -8,11 +8,13 @@ PY := env PYTHONPATH=$(CURDIR) JAX_PLATFORMS=cpu python
 
 native: smcsmc_tpu/_segscan.so smcsmc_tpu/_lookahead.so
 
+# portable codegen (no -march=native): the .so may outlive the build host,
+# and the ctypes loaders fall back to Python oracles on load failure anyway
 smcsmc_tpu/_segscan.so: native/segscan.c
-	gcc -O3 -march=native -shared -fPIC -o $@ $<
+	gcc -O3 -shared -fPIC -o $@ $<
 
 smcsmc_tpu/_lookahead.so: native/lookahead.c
-	gcc -O3 -march=native -shared -fPIC -o $@ $<
+	gcc -O3 -shared -fPIC -o $@ $<
 
 test:
 	$(PY) -m pytest tests/ -x -q -m "not slow"

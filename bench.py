@@ -228,7 +228,7 @@ print("CPU_RESULT " + json.dumps({{
     return None
 
 
-def run_twopop_em(P: int = 10000) -> dict | None:
+def run_twopop_em(P: int = 10000, timeout: int = 2400) -> dict | None:
     """Wall-clock per EM iteration on the 2-pop 4-haplotype config (the
     BASELINE.json north-star).  Iteration 1 compiles; iteration 2 is timed
     (parameters are traced inputs, so the M-step-updated model reuses the
@@ -250,10 +250,10 @@ print("TWOPOP_RESULT " + json.dumps({{
     "logl": float(logl), "updates_per_s": P * segments / dt,
 }}))
 """
-    return _run_sub(code, "TWOPOP_RESULT", timeout=2400)
+    return _run_sub(code, "TWOPOP_RESULT", timeout=timeout)
 
 
-def run_feature(name: str, P: int = 10000) -> dict | None:
+def run_feature(name: str, P: int = 10000, timeout: int = 2400) -> dict | None:
     """Feature-on sweep throughput at P particles (steady state: second
     run_chunk call on the already-compiled program)."""
     if name == "bias_guide":
@@ -327,10 +327,25 @@ print("FEATURE_RESULT " + json.dumps({{
     "logl": float(logl), "updates_per_s": {P} * segments / dt,
 }}))
 """
-    return _run_sub(code, "FEATURE_RESULT", timeout=2400)
+    return _run_sub(code, "FEATURE_RESULT", timeout=timeout)
 
 
 def main():
+    """Emit incrementally under a total time budget (VERDICT r4 weak #1):
+    the headline JSON line prints (flushed) as soon as the headline sweep +
+    CPU anchor finish, so a driver that kills the run mid-configs still
+    records a number.  Each completed config re-prints the FULL updated JSON
+    as a new line (drivers that take the last parseable line get the most
+    complete result; drivers that take the first get the headline).  The
+    running result is also mirrored to BENCH_local.json after every stage.
+
+    ``SMCSMC_BENCH_BUDGET_S`` (default 1500 s) bounds the whole run: configs
+    that would start past the budget are skipped with a marker instead of
+    losing the output."""
+    import time as _time
+
+    t_start = _time.monotonic()
+    budget = float(os.environ.get("SMCSMC_BENCH_BUDGET_S", "1500"))
     P_req = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
     quick = os.environ.get("SMCSMC_BENCH_QUICK")
     for P in [P_req, P_req // 2, P_req // 5, 1000, 500]:
@@ -352,44 +367,64 @@ def main():
     )
 
     configs = {}
-    if not quick:
-        configs["twopop_em_iter"] = run_twopop_em(P)
-        for feat in ["bias_guide", "vb", "apf", "apf8"]:
-            configs[f"feature_{feat}"] = run_feature(feat, P)
-        configs["p50k"] = run_feature("p50k", 50000)
+    result = {
+        "metric": "particle_site_updates_per_sec_per_chip",
+        "value": float(updates_per_sec),
+        "unit": "particle-site updates/s",
+        "vs_baseline": float(updates_per_sec / BASELINE_UPDATES_PER_SEC),
+        "detail": {
+            "num_particles": P,
+            "requested_particles": P_req,
+            "segments": res["segments"],
+            "wall_clock_s": res["wall_clock_s"],
+            "n_haplotypes": 4,
+            "epochs": 8,
+            "sequence_bp": 2e6,
+            "device": res["device"],
+            "baseline_proxy_updates_per_sec": BASELINE_UPDATES_PER_SEC,
+            "cpu_updates_per_sec": cpu_ups,
+            "cpu_anchor": cpu,
+            "vs_cpu_1core": (
+                float(updates_per_sec / cpu_ups) if cpu_ups else None
+            ),
+            "reference_floor_updates_per_sec": REFERENCE_FLOOR_UPDATES_PER_SEC,
+            "vs_reference_floor": float(
+                updates_per_sec / REFERENCE_FLOOR_UPDATES_PER_SEC
+            ),
+            "configs": configs,
+        },
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": "particle_site_updates_per_sec_per_chip",
-                "value": float(updates_per_sec),
-                "unit": "particle-site updates/s",
-                "vs_baseline": float(updates_per_sec / BASELINE_UPDATES_PER_SEC),
-                "detail": {
-                    "num_particles": P,
-                    "requested_particles": P_req,
-                    "segments": res["segments"],
-                    "wall_clock_s": res["wall_clock_s"],
-                    "n_haplotypes": 4,
-                    "epochs": 8,
-                    "sequence_bp": 2e6,
-                    "device": res["device"],
-                    "baseline_proxy_updates_per_sec": BASELINE_UPDATES_PER_SEC,
-                    "cpu_updates_per_sec": cpu_ups,
-                    "cpu_anchor": cpu,
-                    "vs_cpu_1core": (
-                        float(updates_per_sec / cpu_ups) if cpu_ups else None
-                    ),
-                    "reference_floor_updates_per_sec":
-                        REFERENCE_FLOOR_UPDATES_PER_SEC,
-                    "vs_reference_floor": float(
-                        updates_per_sec / REFERENCE_FLOOR_UPDATES_PER_SEC
-                    ),
-                    "configs": configs,
-                },
-            }
-        )
-    )
+    def emit():
+        print(json.dumps(result), flush=True)
+        try:
+            with open(os.path.join(_HERE, "BENCH_local.json"), "w") as fh:
+                json.dump(result, fh)
+        except OSError:
+            pass
+
+    emit()  # headline recorded NOW — configs only ever add to it
+
+    def remaining():
+        return budget - (_time.monotonic() - t_start)
+
+    if not quick:
+        stages = [("twopop_em_iter", lambda t: run_twopop_em(P, timeout=t))]
+        stages += [
+            (f"feature_{feat}",
+             lambda t, f=feat: run_feature(f, P, timeout=t))
+            for feat in ["bias_guide", "vb", "apf", "apf8"]
+        ]
+        stages.append(("p50k", lambda t: run_feature("p50k", 50000, timeout=t)))
+        for name, fn in stages:
+            left = remaining()
+            if left < 60:
+                configs[name] = {"skipped": f"budget exhausted ({left:.0f}s left)"}
+                continue
+            configs[name] = fn(int(min(left, 2400)))
+            emit()
+
+    emit()
 
 
 if __name__ == "__main__":

@@ -201,20 +201,35 @@ def parse_scrm_args(args: list[str] | str, n0: float = 10000.0) -> Demography:
     # time); reproduce that by stable-sorting the timed flag groups while
     # keeping non-timed groups (incl. -I, which must precede them) first
     _TIMED = {"-eI", "-ej", "-eM", "-ema", "-em", "-eN", "-en"}
+
+    def _is_flag(tok: str) -> bool:
+        # a token is a flag iff it starts with '-' and is NOT numeric —
+        # float-parse rather than isdigit so negative scientific-notation
+        # arguments ('-1e-5', '-.5') stay arguments
+        if not tok.startswith("-"):
+            return False
+        try:
+            float(tok)
+            return False
+        except ValueError:
+            return True
+
     groups: list[tuple[float | None, list[str]]] = []
     i = 0
     while i < len(opts):
         o = opts[i]
         grp = [o]
         i += 1
-        while i < len(opts) and not (
-            opts[i].startswith("-")
-            and not opts[i][1:].replace(".", "", 1).isdigit()
-        ):
+        while i < len(opts) and not _is_flag(opts[i]):
             grp.append(opts[i])
             i += 1
         if o in _TIMED and len(grp) > 1:
-            groups.append((float(grp[1]), grp))
+            try:
+                groups.append((float(grp[1]), grp))
+            except ValueError as exc:
+                raise DemographyError(
+                    f"malformed time argument for {' '.join(grp)}"
+                ) from exc
         else:
             groups.append((None, grp))
     untimed = [tok for t, g in groups if t is None for tok in g]

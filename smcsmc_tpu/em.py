@@ -327,19 +327,11 @@ def run_chunk(
     epochs = epochs_from_demography(demo)
     bias_strengths_cfg = cfg.bias_strengths
     if cfg.bias_heights and not bias_strengths_cfg:
-        # getBiasRatio-equivalent default (model_summary.hpp:119-133):
-        # strengths from expected branch mass per bias section
-        from .calibrate import default_bias_strengths
-
-        bias_strengths_cfg = default_bias_strengths(
-            jax.random.PRNGKey(seed + 50021), epochs, demo.sample_pops,
-            cfg.bias_heights,
-        )
-        logging.getLogger("smcsmc").info(
-            "auto-calibrated bias_strengths for heights %s: %s",
-            cfg.bias_heights,
-            " ".join(f"{s:.3g}" for s in bias_strengths_cfg),
-        )
+        # getBiasRatio-equivalent default (model_summary.hpp:119-133); keyed
+        # on the RUN seed, not the chunk seed, so every chunk of a
+        # multi-chunk run proposes with the same strengths (the reference
+        # derives the bias ratio once per run from the model)
+        bias_strengths_cfg = _resolve_bias_strengths(demo, cfg, epochs)
     pfcfg = PFConfig(
         num_particles=cfg.num_particles,
         num_leaves=demo.num_samples,
@@ -473,7 +465,16 @@ def run_chunk(
     # migration program.  Cap P*block <= 2^19 (2x safety margin).
     block_size = cfg.block_size
     if pfcfg.has_migration and jax.default_backend() not in ("cpu",):
-        cap = max(16, (2 ** 19) // max(cfg.num_particles, 1))
+        # floor at 1, NOT a larger convenience floor: flooring at 16 would
+        # push P x block back over 2^20 for P >= 65536 (the exact boundary
+        # the cap exists to avoid)
+        cap = max(1, (2 ** 19) // max(cfg.num_particles, 1))
+        if cap < 16:
+            logging.getLogger("smcsmc").warning(
+                "TPU migration fault-envelope cap forces block_size=%d at "
+                "P=%d (P x block <= 2^19); expect extra per-block dispatch "
+                "overhead", cap, cfg.num_particles,
+            )
         block_size = min(block_size, cap)
 
     ess_traces = []
@@ -605,6 +606,25 @@ def _sample_arg_particle(log_w: np.ndarray, seed: int) -> int:
     return int(rng.choice(w.shape[0], p=w))
 
 
+def _resolve_bias_strengths(demo: Demography, cfg: EMConfig, epochs=None):
+    """Auto-calibrate bias strengths ONCE per run from the run-level seed
+    (reference getBiasRatio, model_summary.hpp:119-133).  Cached on the
+    (model, heights) signature so concurrent chunks share one result."""
+    from .calibrate import default_bias_strengths
+
+    if epochs is None:
+        epochs = epochs_from_demography(demo)
+    strengths = default_bias_strengths(
+        jax.random.PRNGKey(cfg.seed + 50021), epochs, demo.sample_pops,
+        cfg.bias_heights,
+    )
+    logging.getLogger("smcsmc").info(
+        "auto-calibrated bias_strengths for heights %s: %s",
+        cfg.bias_heights, " ".join(f"{s:.3g}" for s in strengths),
+    )
+    return strengths
+
+
 def run_chunks(
     demo: Demography,
     seg: SegData,
@@ -627,6 +647,15 @@ def run_chunks(
         seeds = [cfg.seed + ci for ci in range(n)]
     if guide_files is None:
         guide_files = [None] * n
+    if cfg.bias_heights and not cfg.bias_strengths:
+        # resolve the getBiasRatio pre-pass once for the whole run so every
+        # chunk proposes with identical strengths (and the 20k-tree MC
+        # simulation runs once, not per chunk)
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, bias_strengths=tuple(_resolve_bias_strengths(demo, cfg))
+        )
     devs = jax.devices()
     workers = cfg.chunk_workers if max_workers is None else max_workers
     workers = min(workers if workers > 0 else len(devs), n, len(devs))

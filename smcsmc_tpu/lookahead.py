@@ -92,7 +92,14 @@ def _native_lookahead():
     if not os.path.exists(so):
         _NATIVE = False
         return None
-    lib = ctypes.CDLL(so)
+    try:
+        lib = ctypes.CDLL(so)
+        lib.lookahead_scan  # symbol check before committing to the binary
+    except (OSError, AttributeError):
+        # stale/foreign-ABI binary (e.g. built elsewhere): fall back to the
+        # Python oracle instead of crashing; `make native` rebuilds it
+        _NATIVE = False
+        return None
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")

@@ -97,7 +97,14 @@ def _native_scanner():
     if not os.path.exists(so):
         _NATIVE = False
         return None
-    lib = ctypes.CDLL(so)
+    try:
+        lib = ctypes.CDLL(so)
+        lib.segscan_parse  # symbol check before committing to the binary
+    except (OSError, AttributeError):
+        # stale/foreign-ABI binary: use the Python parser; `make native`
+        # rebuilds the scanner for this host
+        _NATIVE = False
+        return None
     lib.segscan_parse.restype = ctypes.c_long
     lib.segscan_parse.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
