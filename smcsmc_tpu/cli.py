@@ -63,6 +63,7 @@ def parse_smc2_args(argv: list[str]):
         "tmax": 2.0,  # -tmax: max tree height in 4N0 units (pfparam.cpp:242)
         "p_pattern": None,  # -p: binary-style epoch pattern (pfparam.cpp:105)
         "logfile": None,  # -log FILE: log file override (model.py:415-417)
+        "cluster": False,  # -c: multi-process (jax.distributed) execution
     }
     demo_args: list[str] = []
     i = 0
@@ -173,14 +174,13 @@ def parse_smc2_args(argv: list[str]):
                 i += 1
         elif o == "-c":
             # reference: submit chunks via SGE qsub (model.py:254-257).  The
-            # TPU-native equivalent is multi-host chunk parallelism
-            # (parallel/distributed.py); locally chunks already run
-            # concurrently one-per-device, so this is accepted as a no-op.
-            logger.warning(
-                "-c (SGE cluster submission) has no effect: chunks run "
-                "concurrently on local devices; use jax.distributed for "
-                "multi-host execution"
-            )
+            # TPU-native equivalent is multi-process chunk parallelism over
+            # jax.distributed: launch one smc2 -c process per host with
+            # SMCSMC_COORD/SMCSMC_NPROC/SMCSMC_PID set (or a TPU-pod
+            # environment jax.distributed can auto-detect) and run_chunks
+            # partitions the chunks across processes (docs/tpu_deployment.md
+            # "Multi-host launch").
+            io["cluster"] = True
             i += 1
         elif o == "-C":
             take()  # cluster config string (model.py:258-260): no-op
@@ -489,6 +489,49 @@ def _log_parameters(cfg, demo, io):
         logger.info("%s", ln)
 
 
+def _maybe_init_distributed(cluster: bool) -> bool:
+    """Join the jax.distributed runtime before any device use.
+
+    Two activation paths (docs/tpu_deployment.md "Multi-host launch"):
+    - ``SMCSMC_COORD`` (host:port) + ``SMCSMC_NPROC`` + ``SMCSMC_PID`` in
+      the environment — explicit coordination, works on any backend
+      (the launcher example starts one smc2 process per host this way);
+    - ``-c`` with no env vars — ``jax.distributed.initialize()`` with
+      auto-detection (TPU pod / cluster environments); degrades to a
+      warning and single-process execution when no cluster environment is
+      detectable.
+    Returns True when a multi-process runtime was joined."""
+    coord = os.environ.get("SMCSMC_COORD")
+    if coord:
+        from .parallel import distributed as dist
+
+        nproc = int(os.environ["SMCSMC_NPROC"])
+        pid = int(os.environ["SMCSMC_PID"])
+        dist.initialize(coord, nproc, pid)
+        logger.info(
+            "joined jax.distributed: process %d/%d via %s", pid, nproc, coord
+        )
+        return True
+    if cluster:
+        import jax
+
+        try:
+            jax.distributed.initialize()
+        except Exception as exc:  # no detectable cluster environment
+            logger.warning(
+                "-c: no cluster environment detected (%s); running "
+                "single-process (set SMCSMC_COORD/SMCSMC_NPROC/SMCSMC_PID "
+                "to coordinate explicitly)", exc,
+            )
+            return False
+        logger.info(
+            "joined jax.distributed: process %d/%d (auto-detected)",
+            jax.process_index(), jax.process_count(),
+        )
+        return True
+    return False
+
+
 def smcsmc_main(argv=None):
     from ._cache import enable_compilation_cache
     from .em import run_em
@@ -510,11 +553,18 @@ def smcsmc_main(argv=None):
         return 1
     cfg, demo_args, io = parse_smc2_args(argv)
 
+    multiproc = _maybe_init_distributed(io["cluster"])
+    pid = 0
+    if multiproc:
+        import jax
+
+        pid = jax.process_index()
+
     os.makedirs(io["out"], exist_ok=True)
-    logging.basicConfig(
-        filename=io["logfile"] or os.path.join(io["out"], "result.log"),
-        level=logging.INFO,
-    )
+    logfile = io["logfile"] or os.path.join(io["out"], "result.log")
+    if pid > 0:
+        logfile += f".p{pid}"  # per-process logs (shared-FS collision)
+    logging.basicConfig(filename=logfile, level=logging.INFO)
     logger.info("smc2 %s", " ".join(argv))
 
     if not io["segs"]:
@@ -540,7 +590,8 @@ def smcsmc_main(argv=None):
         cfg.length = float(io["length"])
     result = run_em(demo, seg, cfg)
     logger.info("final log-likelihoods: %s", result.log_likelihoods)
-    print(f"Results written to {io['out']}/result.out")
+    if pid == 0:
+        print(f"Results written to {io['out']}/result.out")
     return 0
 
 

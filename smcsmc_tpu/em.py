@@ -31,6 +31,7 @@ from .smc import (
     flush_pending,
     init_state,
     unpack_stats,
+    zero_stats,
 )
 
 
@@ -106,6 +107,62 @@ class EMConfig:
     # blocks; a re-run of the same chunk resumes from the last checkpoint
     # instead of losing the whole sweep.  0 = off.
     checkpoint_blocks: int = 0
+
+
+def _mig_block_cap(num_particles: int, backend: str, walk_impl: str):
+    """TPU runtime hazard (bisected 2026-08-21, fresh-process reproducible
+    via ``tools/repro_migfault.py``): the LOOP-walk migration sweep faults
+    the TPU worker ("kernel fault") whenever num_particles x scan_length
+    reaches 2^20 exactly — 4096x255 runs, 4096x256 crashes; the plain
+    no-migration sweep is fine at 10000x2048 (p50k bench).  Looks like an
+    i32/lane-count overflow in the compiled lock-step event walk.  The
+    jump-to-event walk (the round-5 default) compiles to a different
+    program with no population-batched while_loop and was probed clean at
+    the crash shape (tests/test_migration_walk.py envelope gate), so the
+    cap applies only to ``SMCSMC_MIG_WALK=loop``.
+
+    Returns the max block size (P x block <= 2^19, 2x safety margin,
+    floored at 1), or None when no cap applies."""
+    if backend in ("cpu",) or walk_impl != "loop":
+        return None
+    return max(1, (2 ** 19) // max(num_particles, 1))
+
+
+def _mig_uniform_rate(demo: Demography) -> bool:
+    """True when the total out-migration rate (after the epoch's -ej pop
+    fold) is identical across populations in every epoch AND there are
+    exactly two populations — the symmetric island/split models of the
+    reference's gates.  Enables the scan-free CTMC path sampler in the
+    jump-to-event walk (kernels/transition.py ctmc_uniform)."""
+    if demo.num_populations != 2:
+        return False
+    pm = np.asarray(demo.pop_map_at_epoch())  # [E, Pp]
+    tot = np.sum(demo.mig_rates, axis=2)  # [E, Pp]
+    rate_es = np.take_along_axis(tot, pm, axis=1)  # by raw label
+    return bool(np.allclose(rate_es[:, 0], rate_es[:, 1]))
+
+
+def _auto_mig_sizes(demo: Demography) -> tuple[int, int]:
+    """(mig_jumps, mig_compact) budgets for the jump-to-event walk, sized
+    from the model's expected migration-event counts.  ``mig_jumps`` bounds
+    one lineage's CTMC path (expected jumps ~ out-rate x coalescent time
+    scale); ``mig_compact`` bounds the tree-wide compacted event list
+    (expected stored events ~ out-rate x total tree length).  Truncation
+    beyond either budget freezes/ignores only the far tail and is recorded
+    per particle (TransitionRecord.walk_capped); measured at these sizes
+    the island-model record moments match the exact lock-step walk to <1%
+    (tests/test_migration_walk.py).  The budgets set the walk's dominant
+    [P, V, V] tensor cost, so oversizing is a direct throughput tax."""
+    m_out = float(np.max(np.sum(demo.mig_rates, axis=2)))
+    ne_max = float(np.max(demo.pop_sizes))
+    t_scale = float(np.max(demo.change_times)) + 4.0 * ne_max
+    expect_path = m_out * t_scale  # per-lineage jump expectation (tail-ish)
+    n = demo.num_samples
+    # expected total tree length ~ 2 * sum_{k=2..n} 2*Ne/(k-1) * k ≈ 4*Ne*n
+    expect_tree = m_out * 4.0 * ne_max * max(n, 2) * 0.5
+    mig_jumps = int(np.clip(3.0 * expect_path + 12, 20, 56))
+    mig_compact = int(np.clip(2.0 * expect_tree + 16, 24, 64))
+    return mig_jumps, mig_compact
 
 
 def _auto_mig_buffer(demo: Demography) -> int:
@@ -339,6 +396,9 @@ def run_chunk(
         fifo_slots=cfg.fifo_slots,
         ancestral_aware=cfg.ancestral_aware,
         has_migration=bool(np.any(demo.mig_rates > 0)),
+        mig_uniform=_mig_uniform_rate(demo),
+        mig_jumps=_auto_mig_sizes(demo)[0],
+        mig_compact=_auto_mig_sizes(demo)[1],
         max_mig=cfg.mig_buffer or _auto_mig_buffer(demo),
         use_bias=bool(bias_strengths_cfg)
         and any(s != 1.0 for s in bias_strengths_cfg),
@@ -456,26 +516,20 @@ def run_chunk(
                 resume_block,
             )
 
-    # TPU runtime hazard (bisected 2026-08-21, fresh-process reproducible):
-    # the migration sweep faults the TPU worker ("kernel fault") whenever
-    # num_particles x scan_length reaches 2^20 — measured boundary:
-    # 1000x1024 and 4096x128 run, 4096x256 (= exactly 2^20), 1000x2048 and
-    # 10000x128 crash; the plain no-migration sweep is fine at 10000x2048
-    # (p50k bench).  Looks like an i32/lane-count overflow in the compiled
-    # migration program.  Cap P*block <= 2^19 (2x safety margin).
     block_size = cfg.block_size
-    if pfcfg.has_migration and jax.default_backend() not in ("cpu",):
-        # floor at 1, NOT a larger convenience floor: flooring at 16 would
-        # push P x block back over 2^20 for P >= 65536 (the exact boundary
-        # the cap exists to avoid)
-        cap = max(1, (2 ** 19) // max(cfg.num_particles, 1))
-        if cap < 16:
-            logging.getLogger("smcsmc").warning(
-                "TPU migration fault-envelope cap forces block_size=%d at "
-                "P=%d (P x block <= 2^19); expect extra per-block dispatch "
-                "overhead", cap, cfg.num_particles,
-            )
-        block_size = min(block_size, cap)
+    if pfcfg.has_migration:
+        cap = _mig_block_cap(
+            cfg.num_particles, jax.default_backend(),
+            os.environ.get("SMCSMC_MIG_WALK", "jump"),
+        )
+        if cap is not None:
+            if cap < 16:
+                logging.getLogger("smcsmc").warning(
+                    "TPU migration fault-envelope cap forces block_size=%d "
+                    "at P=%d (P x block <= 2^19); expect extra per-block "
+                    "dispatch overhead", cap, cfg.num_particles,
+                )
+            block_size = min(block_size, cap)
 
     ess_traces = []
     resample_rows = []  # (genome position, ESS) at each resample event
@@ -656,27 +710,66 @@ def run_chunks(
         cfg = dataclasses.replace(
             cfg, bias_strengths=tuple(_resolve_bias_strengths(demo, cfg))
         )
-    devs = jax.devices()
+    # multi-process (multi-host) partitioning over jax.distributed: chunk ci
+    # belongs to process ci % nproc — the reference's one-SGE-job-per-chunk
+    # (execute.py:26-105) with the .out-file summation replaced by one DCN
+    # all-reduce of the [E, ...] tensors (parallel/distributed.py)
+    nproc = jax.process_count()
+    pid = jax.process_index() if nproc > 1 else 0
+    mine = [ci for ci in range(n) if ci % nproc == pid]
+
+    devs = jax.local_devices()
     workers = cfg.chunk_workers if max_workers is None else max_workers
-    workers = min(workers if workers > 0 else len(devs), n, len(devs))
-    if workers <= 1:
-        return [
-            run_chunk(demo, seg, cfg, chunk=ch, seed=seeds[ci],
-                      guide_file=guide_files[ci], vb_counts=vb_counts)
-            for ci, ch in enumerate(chunks)
-        ]
+    workers = min(workers if workers > 0 else len(devs), len(mine), len(devs))
 
     def one(ci):
-        with jax.default_device(devs[ci % len(devs)]):
-            return run_chunk(
-                demo, seg, cfg, chunk=chunks[ci], seed=seeds[ci],
-                guide_file=guide_files[ci], vb_counts=vb_counts,
-            )
+        return run_chunk(
+            demo, seg, cfg, chunk=chunks[ci], seed=seeds[ci],
+            guide_file=guide_files[ci], vb_counts=vb_counts,
+        )
 
-    from concurrent.futures import ThreadPoolExecutor
+    if workers <= 1:
+        local = {ci: one(ci) for ci in mine}
+    else:
+        def one_pinned(ci):
+            with jax.default_device(devs[mine.index(ci) % len(devs)]):
+                return one(ci)
 
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        return list(ex.map(one, range(n)))
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            local = dict(zip(mine, ex.map(one_pinned, mine)))
+
+    if nproc == 1:
+        return [local[ci] for ci in range(n)]
+
+    # reduce every chunk's result to every process: owners contribute the
+    # real tensors, everyone else zeros — the all-reduce sum reconstructs
+    # the full per-chunk list on all processes (so the M-step, Clump rows
+    # and resume logic stay process-uniform)
+    from .parallel import distributed as dist
+
+    E, Pp = demo.num_epochs, demo.num_populations
+    zs = jax.tree_util.tree_map(
+        lambda a: np.zeros(np.shape(a), dtype=np.float64),
+        zero_stats(E, Pp),
+    )
+    out = []
+    for ci in range(n):
+        if ci in local:
+            st, st_wt, logl, diag = local[ci]
+        else:
+            st, st_wt, logl, diag = zs, zs, 0.0, {}
+        st = dist.allreduce_stats(st)
+        st_wt = dist.allreduce_stats(st_wt)
+        logl = dist.allreduce_scalar(logl)
+        nres = dist.allreduce_scalar(
+            float(diag.get("num_resamples", 0))
+        )
+        diag = dict(diag)
+        diag["num_resamples"] = int(nres)
+        out.append((st, st_wt, logl, diag))
+    return out
 
 
 def sum_stats(stats_list: list[SuffStats]) -> SuffStats:
@@ -796,7 +889,18 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
     from .segio import define_chunks
 
     result = EMResult(demos=[], stats=[], stats_wt=[], log_likelihoods=[])
-    if cfg.outdir:
+    # multi-process runs (jax.distributed initialized, e.g. smc2 -c with
+    # SMCSMC_COORD set): every process executes the same EM loop on its
+    # share of the chunks (run_chunks partitions and all-reduces), but only
+    # process 0 writes the aggregate output files.  Per-chunk auxiliaries
+    # (.recomb.gz, .trees.gz, guide files) are written by the owning
+    # process — the reference's SGE jobs rely on the same shared-FS
+    # contract (execute.py:26-105).  .resample rows cover process-0 chunks
+    # only in multi-process runs.
+    nproc = jax.process_count()
+    pid = jax.process_index() if nproc > 1 else 0
+    is_main = pid == 0
+    if cfg.outdir and is_main:
         os.makedirs(cfg.outdir, exist_ok=True)
 
     windowed = (
@@ -858,6 +962,8 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
 
             os.makedirs(os.path.join(cfg.outdir, f"emiter{it}"), exist_ok=True)
             for ci in range(len(chunks)):
+                if ci % nproc != pid:
+                    continue  # the owning process smooths its own chunks
                 recomb_path = os.path.join(
                     cfg.outdir, f"emiter{it - 1}", f"chunk{ci}.recomb.gz"
                 )
@@ -896,7 +1002,7 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
         logl = sum(pc[2] for pc in per_chunk)
         n_resample = sum(pc[3]["num_resamples"] for pc in per_chunk)
 
-        if cfg.record_ess and cfg.outdir:
+        if cfg.record_ess and cfg.outdir and is_main:
             # .resample contract (pfparam.cpp:530-538): one row per resample
             # event, "position<TAB>ESS"
             os.makedirs(os.path.join(cfg.outdir, f"emiter{it}"), exist_ok=True)
@@ -947,7 +1053,7 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
                     clump=ci, header=False,
                 )
         result.out_text.append(text)
-        if cfg.outdir:
+        if cfg.outdir and is_main:
             os.makedirs(os.path.join(cfg.outdir, f"emiter{it}"), exist_ok=True)
             with open(
                 os.path.join(cfg.outdir, f"emiter{it}", "chunkfinal.out"), "w"
@@ -968,7 +1074,7 @@ def run_em(demo: Demography, seg: SegData, cfg: EMConfig) -> EMResult:
             it, _time.monotonic() - _t_iter, logl, len(chunks), n_resample,
         )
 
-    if cfg.outdir:
+    if cfg.outdir and is_main:
         # result.out passes through only aggregate rows (Clump -1 — or no
         # Clump column at all for single-chunk runs): model.py:974-987
         with open(os.path.join(cfg.outdir, "result.out"), "w") as fh:

@@ -18,12 +18,22 @@ fixed-shape, fully vectorized formulation:
 3. the topology update is a constant-time SPR on the index arrays, including
    splitting/merging of per-branch migration-event buffers.
 
-Two walk implementations:
+Three walk implementations:
 - migration-free (incl. -ej splits via the epoch pop_map): a single
-  piecewise-hazard inversion — no sequential loop at all;
-- with continuous migration: a bounded event walk (migration changes the
-  lineage's population and therefore its hazard), still batched over the
-  whole population.
+  piecewise-hazard inversion — no sequential loop at all (``_walk_fast``);
+- with continuous migration, jump-to-event (the default,
+  ``_walk_mig_jump``): the lineage migration paths are pre-simulated as
+  cheap scalar CTMCs (migration rates depend only on epoch and current
+  population, never on the tree), after which the coalescence time is one
+  fixed-shape piecewise-hazard inversion conditional on the paths — the
+  factorization is exact because migration is independent of the
+  coalescence clock until absorption;
+- with continuous migration, lock-step event walk (``_walk_mig_batched``,
+  selectable via ``SMCSMC_MIG_WALK=loop``): one ``lax.while_loop``
+  iteration per event/breakpoint over the whole population — the original
+  formulation, kept as the A/B reference; its population-max iteration
+  count made it op-chain-latency-bound (~70x the plain path per
+  particle-site).
 
 Opportunity/event records (reference: particle.cpp:193-302,
 coalevent.hpp:209-244): coalescence opportunity = Σ pieces k_same·dt,
@@ -33,6 +43,7 @@ into [E, Pp(,Pp)] tensors.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -581,6 +592,500 @@ def _walk_mig_batched(
     )
 
 
+def _walk_mig_jump(
+    key, time, parent, pop, mig_time, mig_dest, c, h_r,
+    epochs: Epochs, max_events: int, active,
+    max_compact: int = 64, mig_uniform: bool = False,
+    mig_jumps: int = 0, mig_compact: int = 0,
+):
+    """Re-coalescence with continuous migration — jump-to-event formulation.
+
+    Replaces ``_walk_mig_batched``'s lock-step per-event ``while_loop``
+    (population-max 40-80 iterations of tiny fused ops — op-chain-latency
+    bound) with three fixed-shape stages:
+
+    1. **CTMC paths** (``lax.scan`` over ``Mj`` jumps of [P]-scalar ops):
+       migration of the floating lineage and of the root's ancestral lineage
+       depends only on (epoch, current population) — never on the tree — so
+       both paths can be simulated marginally, ahead of the coalescence
+       clock.  Jump times come from a closed-form piecewise-exponential
+       inversion over epochs.  This factorization is exact: in the competing
+       risks decomposition the migration components are autonomous, and
+       sampling them first then the coalescence first-arrival conditional on
+       the paths reproduces the joint law (same process the reference walks
+       event-by-event, particle.cpp:1266-1488, with scrm's two active nodes
+       + PwCoalescence above the root).
+    2. **Compact event list**: the K earliest finite branch-migration events
+       out of the [N, Mw] buffers via ``top_k`` (buffers are tail-sized,
+       nearly all INF-padded).
+    3. **One piecewise-hazard inversion** conditional on the paths — the
+       ``_walk_fast`` pattern: evaluate the coalescence rate at every
+       breakpoint (node times, epoch starts, compact events, path jumps),
+       take the highest breakpoint with cumulative hazard <= the Exp(1)
+       draw, finish with a linear step.  Per-population lineage counts at
+       the breakpoints use a base-plus-delta representation (full counts at
+       epoch starts + signed in-epoch jump triples) so no [V, N, Mw]
+       broadcast is ever formed.
+
+    Approximation boundary (recorded in ``capped``): lineage paths truncate
+    at ``Mj`` jumps and the compact list at K events; a particle is flagged
+    only when its coalescence time actually runs past the truncation.
+    """
+    P, N = parent.shape
+    E, Pp = epochs.num_epochs, epochs.num_pops
+    Mw = mig_time.shape[2]
+    # path-jump and compact-event budgets: auto-sized by the driver from the
+    # model's expected event counts (em._auto_mig_sizes); fallback reuses
+    # the per-branch buffer capacity Mw (tail-sized by _auto_mig_buffer).
+    # Truncation is recorded per particle in ``capped``.  The budgets set
+    # the breakpoint-set size V and hence the walk's [P, V, V] / [P, V, T]
+    # FLOPs — the dominant cost at P >= 10k.
+    K = (
+        int(os.environ.get("SMCSMC_MIG_COMPACT", 0))
+        or mig_compact
+        or int(min(max_compact, N * Mw))
+    )
+    K = int(min(K, N * Mw))
+    Mj = (
+        int(os.environ.get("SMCSMC_MIG_JUMPS", 0))
+        or mig_jumps
+        or int(min(max(24, Mw), max_events))
+    )
+    BIG = jnp.float32(1e30)
+    start, end = epochs.start, epochs.end  # [E]
+    pm_i = epochs.pop_map.astype(jnp.int32)  # [E, Pp]
+    arangePp = jnp.arange(Pp)
+    arangeN = jnp.arange(N)
+    arangeE = jnp.arange(E)
+    arangeK = jnp.arange(K)
+
+    def pick_nodes(arr, idx):
+        oh = arangeN[None, :] == idx[:, None]
+        oh = oh.reshape(P, N, *([1] * (arr.ndim - 2)))
+        return jnp.sum(jnp.where(oh, arr, 0), axis=1)
+
+    pt = jax.vmap(parent_time)(time, parent)  # [P, N]
+    root = jnp.argmax(parent < 0, axis=1).astype(jnp.int32)
+    root_h = pick_nodes(time, root)  # [P]
+    pop_root = pick_nodes(pop, root)  # [P]
+    not_root = arangeN[None, :] != root[:, None]  # [P, N]
+
+    # floating lineage's start label: branch c's label at the cut height
+    mt_c = pick_nodes(mig_time, c)  # [P, Mw]
+    md_c = pick_nodes(mig_dest, c)
+    k0 = jnp.sum(mt_c <= h_r[:, None], axis=1)
+    oh_k0 = jnp.arange(Mw)[None, :] == (k0 - 1)[:, None]
+    last_c = jnp.sum(jnp.where(oh_k0, md_c, 0), axis=1)
+    p_raw0 = jnp.where(k0 > 0, last_c, pick_nodes(pop, c))
+
+    # --- stage 2: compact the branch-event buffers -----------------------
+    NM = N * Mw
+    flat_b = jnp.broadcast_to(arangeN[:, None], (N, Mw)).reshape(-1)  # [NM]
+    # root's ancestral path is re-simulated fresh each walk; drop its row
+    flat_t = jnp.where(
+        flat_b[None, :] == root[:, None], INF, mig_time.reshape(P, NM)
+    )
+    flat_d = mig_dest.reshape(P, NM)
+    negv, idxk = jax.lax.top_k(-flat_t, K)  # K smallest times
+    cev_t = -negv  # [P, K] ascending, INF-padded
+    oh_idx = idxk[:, :, None] == jnp.arange(NM)[None, None, :]
+    cev_d = jnp.sum(jnp.where(oh_idx, flat_d[:, None, :], 0), axis=2)
+    cev_b = jnp.sum(jnp.where(oh_idx, flat_b[None, None, :], 0), axis=2)
+    cev_fin = cev_t < 0.5 * INF  # [P, K]
+    n_overflow = jnp.sum(flat_t < 0.5 * INF, axis=1) - jnp.sum(cev_fin, axis=1)
+
+    oh_cb = cev_b[:, :, None] == arangeN[None, None, :]  # [P, K, N]
+    cev_bpop = jnp.sum(jnp.where(oh_cb, pop[:, None, :], 0), axis=2)
+    # label just below each event = dest of the previous event on the branch
+    same_b = cev_b[:, :, None] == cev_b[:, None, :]  # [P, K, K]
+    earlier = (
+        same_b
+        & (cev_t[:, None, :] < cev_t[:, :, None])
+        & cev_fin[:, None, :]
+    )
+    jprev = jnp.argmax(jnp.where(earlier, cev_t[:, None, :], -INF), axis=2)
+    oh_jp = jprev[:, :, None] == arangeK[None, None, :]
+    prev_d = jnp.sum(jnp.where(oh_jp, cev_d[:, None, :], 0), axis=2)
+    cev_prev = jnp.where(jnp.any(earlier, axis=2), prev_d, cev_bpop)
+    # label at the top of each branch (all stored events lie below pt)
+    app_b = cev_fin[:, None, :] & (
+        cev_b[:, None, :] == arangeN[None, :, None]
+    )  # [P, N, K]
+    kx = jnp.argmax(jnp.where(app_b, cev_t[:, None, :], -INF), axis=2)
+    ohkx = kx[:, :, None] == arangeK[None, None, :]
+    lastd = jnp.sum(jnp.where(ohkx, cev_d[:, None, :], 0), axis=2)
+    lab_end = jnp.where(jnp.any(app_b, axis=2), lastd, pop)  # [P, N]
+
+    # --- stage 1: marginal CTMC paths ------------------------------------
+    tot_mig = jnp.sum(epochs.mig, axis=2)  # [E, Pp]
+    rate_es = jnp.take_along_axis(tot_mig, pm_i, axis=1)  # [E, raw label]
+
+    def ctmc_scan(ck, t0, s0):
+        """Mj jumps of the (epoch, label)-dependent migration CTMC for a
+        stacked batch of B lineages.  Returns (times [B, Mj] ascending
+        INF-padded, dest labels, source folded pops).  All per-step ops are
+        [B]- or [B, E]-shaped."""
+        B = t0.shape[0]
+
+        def step(carry, kk):
+            t, s, dead = carry
+            k1, k2 = jax.random.split(kk)
+            oh_s = s[:, None] == arangePp[None, :]  # [B, Pp]
+            rate_pe = jnp.sum(
+                jnp.where(oh_s[:, None, :], rate_es[None], 0.0), axis=2
+            )  # [B, E]
+            lo = jnp.maximum(start[None, :], t[:, None])
+            ln = jnp.clip(
+                jnp.minimum(end[None, :], BIG) - jnp.minimum(lo, BIG),
+                0.0, None,
+            )
+            cum = jnp.cumsum(rate_pe * ln, axis=1)
+            u = jax.random.uniform(k1, (B,), minval=1e-7, maxval=1.0 - 1e-7)
+            x = -jnp.log1p(-u)
+            idx = jnp.clip(jnp.sum(cum < x[:, None], axis=1), 0, E - 1)
+            oh_i = idx[:, None] == arangeE[None, :]
+            prev = jnp.sum(
+                jnp.where(arangeE[None, :] == idx[:, None] - 1, cum, 0.0),
+                axis=1,
+            )
+            rate_i = jnp.sum(jnp.where(oh_i, rate_pe, 0.0), axis=1)
+            lo_i = jnp.sum(jnp.where(oh_i, lo, 0.0), axis=1)
+            t_next = lo_i + jnp.where(
+                rate_i > 0, (x - prev) / jnp.maximum(rate_i, 1e-30), BIG
+            )
+            live = (~dead) & (x <= cum[:, -1]) & (t_next < 0.5 * BIG)
+            e_n = _epoch_index(start, t_next)
+            oh_en = e_n[:, None] == arangeE[None, :]
+            pm_n = jnp.sum(
+                jnp.where(oh_en[:, :, None], pm_i[None], 0), axis=1
+            )  # [B, Pp]
+            p_cur = jnp.sum(jnp.where(oh_s, pm_n, 0), axis=1)
+            mig_n = jnp.sum(
+                jnp.where(oh_en[:, :, None, None], epochs.mig[None], 0.0),
+                axis=1,
+            )  # [B, Pp, Pp]
+            w = jnp.sum(
+                jnp.where(
+                    (p_cur[:, None] == arangePp[None, :])[:, :, None],
+                    mig_n, 0.0,
+                ),
+                axis=1,
+            )
+            dest = jax.random.categorical(
+                k2, jnp.log(jnp.maximum(w, 1e-30)), axis=-1
+            ).astype(jnp.int32)
+            out = (
+                jnp.where(live, t_next, INF),
+                jnp.where(live, dest, 0),
+                jnp.where(live, p_cur, 0),
+            )
+            return (
+                jnp.where(live, t_next, t),
+                jnp.where(live, dest, s),
+                dead | ~live,
+            ), out
+
+        ks = jax.random.split(ck, Mj)
+        _, (jt, jd, jfrom) = jax.lax.scan(
+            step, (t0, s0, jnp.zeros((B,), bool)), ks
+        )
+        return jt.T, jd.T, jfrom.T  # [B, Mj]
+
+    def ctmc_uniform(ck, t0, s0):
+        """Scan-free path sampler for the uniform-rate two-population case
+        (total out-migration rate identical across populations in every
+        epoch — the symmetric island/split models of the gates and bench).
+        Then jump times are the inverse of ONE shared piecewise-constant
+        hazard at the running Exp(1) partial sums (a cumsum + a batched
+        epoch-tensor inversion, no sequential dependence), and with Pp == 2
+        destinations alternate deterministically.  Exact, not approximate:
+        the per-state hazards coincide, and for two populations the
+        embedded jump chain has a single destination per state."""
+        B = t0.shape[0]
+        r_e = rate_es[:, 0]  # [E] shared per-epoch rate
+        u = jax.random.uniform(
+            ck, (B, Mj), minval=1e-7, maxval=1.0 - 1e-7
+        )
+        cx = jnp.cumsum(-jnp.log1p(-u), axis=1)  # [B, Mj] target hazards
+        lo = jnp.maximum(start[None, :], t0[:, None])  # [B, E]
+        ln = jnp.clip(
+            jnp.minimum(end[None, :], BIG) - jnp.minimum(lo, BIG), 0.0, None
+        )
+        cum = jnp.cumsum(r_e[None, :] * ln, axis=1)  # [B, E]
+        idx = jnp.clip(
+            jnp.sum(cum[:, None, :] < cx[:, :, None], axis=2), 0, E - 1
+        )  # [B, Mj]
+        oh_i = idx[..., None] == arangeE  # [B, Mj, E]
+        prev = jnp.sum(
+            jnp.where(arangeE[None, None, :] == idx[..., None] - 1,
+                      cum[:, None, :], 0.0),
+            axis=2,
+        )
+        rate_i = jnp.sum(jnp.where(oh_i, r_e[None, None, :], 0.0), axis=2)
+        lo_i = jnp.sum(jnp.where(oh_i, lo[:, None, :], 0.0), axis=2)
+        jt = lo_i + jnp.where(
+            rate_i > 0, (cx - prev) / jnp.maximum(rate_i, 1e-30), BIG
+        )
+        jt = jnp.where(
+            (cx <= cum[:, -1:]) & (jt < 0.5 * BIG), jt, INF
+        )  # [B, Mj]
+        # states alternate from s0: dest of jump j is the other pop
+        par = (s0[:, None] + jnp.arange(1, Mj + 1)[None, :]) % 2
+        jd = jnp.where(jt < 0.5 * INF, par.astype(jnp.int32), 0)
+        # folded source pop at each jump time
+        e_j = _epoch_index(start, jt)
+        src = (s0[:, None] + jnp.arange(Mj)[None, :]) % 2  # raw label before
+        pm_j = jnp.sum(
+            jnp.where((e_j[..., None] == arangeE)[..., None],
+                      pm_i[None, None], 0),
+            axis=2,
+        )  # [B, Mj, Pp]
+        jfrom = jnp.sum(
+            jnp.where(src[..., None] == arangePp, pm_j, 0), axis=2
+        )
+        jfrom = jnp.where(jt < 0.5 * INF, jfrom, 0)
+        return jt, jd, jfrom
+
+    k_p, k_x, k_d = jax.random.split(key, 3)
+    # one stacked [2P] pass: rows 0..P-1 the floating lineage (from the cut
+    # height), rows P..2P-1 the root's ancestral lineage (from the root)
+    sampler = ctmc_uniform if (mig_uniform and Pp == 2) else ctmc_scan
+    jt2, jd2, jfrom2 = sampler(
+        k_p,
+        jnp.concatenate([h_r, root_h]),
+        jnp.concatenate([p_raw0, pop_root]),
+    )
+    jt_f, jt_r = jt2[:P], jt2[P:]
+    jd_f, jd_r = jd2[:P], jd2[P:]
+    jfrom_f, jfrom_r = jfrom2[:P], jfrom2[P:]
+
+    # --- per-pop lineage counts: base at epoch starts + signed triples ----
+    # folded crossing-count k_base[p, e, pop] evaluated at each epoch start
+    app_e = cev_t[:, None, :] <= start[None, :, None]  # [P, E, K]
+    m_eb = app_e[:, :, None, :] & (
+        cev_b[:, None, None, :] == arangeN[None, None, :, None]
+    )  # [P, E, N, K]
+    kxx = jnp.argmax(jnp.where(m_eb, cev_t[:, None, None, :], -INF), axis=3)
+    ohk2 = kxx[..., None] == arangeK
+    ld_e = jnp.sum(jnp.where(ohk2, cev_d[:, None, None, :], 0), axis=3)
+    lab_e = jnp.where(jnp.any(m_eb, axis=3), ld_e, pop[:, None, :])
+    oh_lab = lab_e[..., None] == arangePp  # [P, E, N, Pp]
+    folded_e = jnp.sum(jnp.where(oh_lab, pm_i[None, :, None, :], 0), axis=3)
+    cross_e = (
+        (time[:, None, :] <= start[None, :, None])
+        & (start[None, :, None] < pt[:, None, :])
+        & not_root[:, None, :]
+    )  # [P, E, N]
+    k_base = jnp.sum(
+        (cross_e[..., None] & (folded_e[..., None] == arangePp)).astype(
+            jnp.float32
+        ),
+        axis=2,
+    )  # [P, E, Pp]
+
+    # in-epoch jump triples: (time, +/-1, raw label)
+    ntime = jnp.where(not_root, time, INF)
+    npt = jnp.where(not_root, jnp.minimum(pt, INF), INF)
+    trip_t = jnp.concatenate([ntime, npt, cev_t, cev_t], axis=1)  # [P, T]
+    trip_s = jnp.concatenate(
+        [
+            jnp.ones((P, N)), -jnp.ones((P, N)),
+            -jnp.ones((P, K)), jnp.ones((P, K)),
+        ],
+        axis=1,
+    )
+    trip_l = jnp.concatenate([pop, lab_end, cev_prev, cev_d], axis=1)
+
+    def eval_rate(tq):
+        """Coalescence rate (and its pieces) at query times tq [P, V]."""
+        e_q = _epoch_index(start, tq)  # [P, V]
+        oh_eq = e_q[..., None] == arangeE  # [P, V, E]
+        start_q = jnp.sum(jnp.where(oh_eq, start[None, None, :], 0.0), axis=2)
+        pm_q = jnp.sum(
+            jnp.where(oh_eq[..., None], pm_i[None, None], 0), axis=2
+        )  # [P, V, Pp]
+        ne_row = jnp.sum(
+            jnp.where(oh_eq[..., None], epochs.ne[None, None], 0.0), axis=2
+        )  # [P, V, Pp]
+
+        def path_pop(jt, jd, s0):
+            napp = jnp.sum(jt[:, None, :] <= tq[:, :, None], axis=2)
+            ohna = jnp.arange(Mj)[None, None, :] == (napp - 1)[:, :, None]
+            last = jnp.sum(jnp.where(ohna, jd[:, None, :], 0), axis=2)
+            raw = jnp.where(napp > 0, last, s0[:, None])  # [P, V]
+            fold = jnp.sum(
+                jnp.where(raw[..., None] == arangePp, pm_q, 0), axis=2
+            )
+            return raw, fold
+
+        raw_f, f_pop = path_pop(jt_f, jd_f, p_raw0)
+        _, r_pop = path_pop(jt_r, jd_r, pop_root)
+
+        kb = jnp.sum(jnp.where(oh_eq[..., None], k_base[:, None], 0.0), axis=2)
+        in_ep = (trip_t[:, None, :] > start_q[:, :, None]) & (
+            trip_t[:, None, :] <= tq[:, :, None]
+        )  # [P, V, T]
+        oh_tl = trip_l[:, None, :, None] == arangePp[None, None, None, :]
+        fold_tl = jnp.sum(
+            jnp.where(oh_tl, pm_q[:, :, None, :], 0), axis=3
+        )  # [P, V, T]
+        contrib = jnp.where(in_ep, trip_s[:, None, :], 0.0)
+        kdelta = jnp.sum(
+            contrib[..., None]
+            * (fold_tl[..., None] == arangePp).astype(jnp.float32),
+            axis=2,
+        )  # [P, V, Pp]
+        kpop = kb + kdelta
+        k_same = jnp.sum(
+            jnp.where(f_pop[..., None] == arangePp, kpop, 0.0), axis=2
+        )
+        root_on = (tq >= root_h[:, None]) & (r_pop == f_pop)
+        k_same = k_same + root_on.astype(jnp.float32)
+        ne_f = jnp.sum(
+            jnp.where(f_pop[..., None] == arangePp, ne_row, 0.0), axis=2
+        )
+        rate = k_same / (2.0 * jnp.maximum(ne_f, 1e-30))
+        return rate, k_same, e_q, f_pop, r_pop
+
+    # --- stage 3: hazard inversion over the breakpoint set ----------------
+    v = jnp.concatenate(
+        [
+            h_r[:, None], time,
+            jnp.broadcast_to(start[None, :], (P, E)),
+            cev_t, jt_f, jt_r,
+        ],
+        axis=1,
+    )  # [P, V]
+    V = v.shape[1]
+    rate_v, ks_v, e_v, fp_v, rp_v = eval_rate(v)
+    vc = jnp.minimum(v, BIG)
+    wnext = jnp.min(
+        jnp.where(v[:, None, :] > v[:, :, None], vc[:, None, :], BIG), axis=2
+    )  # [P, V] next distinct breakpoint
+    dup = (
+        jnp.sum(
+            (v[:, None, :] == v[:, :, None])
+            & (jnp.arange(V)[None, None, :] < jnp.arange(V)[None, :, None]),
+            axis=2,
+        )
+        > 0
+    )
+    a = jnp.maximum(vc, h_r[:, None])
+    valid = (~dup) & (v < 0.5 * INF)
+    r_eff = jnp.where(valid, rate_v, 0.0)
+    seg_v = jnp.clip(
+        jnp.minimum(wnext[:, None, :], vc[:, :, None]) - a[:, None, :],
+        0.0, None,
+    )  # [P, V, V]
+    lam_v = jnp.sum(seg_v * r_eff[:, None, :], axis=2)  # [P, V]
+
+    u = jax.random.uniform(k_x, (P,), minval=1e-7, maxval=1.0 - 1e-7)
+    x = -jnp.log1p(-u)
+    ok_lo = (lam_v <= x[:, None]) & (v >= h_r[:, None]) & valid
+    t_lo = jnp.max(jnp.where(ok_lo, vc, -INF), axis=1)  # h_r always qualifies
+    hit_lo = ok_lo & (vc == t_lo[:, None])
+    lam_lo = jnp.sum(jnp.where(hit_lo, lam_v, 0.0), axis=1)
+    rate_lo = jnp.sum(jnp.where(hit_lo, rate_v, 0.0), axis=1)
+    t_c = t_lo + jnp.where(
+        rate_lo > 0, (x - lam_lo) / jnp.maximum(rate_lo, 1e-30), BIG
+    )
+    bad = t_c >= 0.5 * BIG
+    maxnode = jnp.max(time, axis=1)
+    t_c = jnp.where(bad, jnp.maximum(t_lo, maxnode), t_c)
+
+    # --- coalescence target at t_c ---------------------------------------
+    rate1, ks1, e1, fp1, rp1 = eval_rate(t_c[:, None])
+    e_c, fpop_c, rp_c = e1[:, 0], fp1[:, 0], rp1[:, 0]
+    appc = cev_t <= t_c[:, None]  # [P, K]
+    m_cb = appc[:, None, :] & (cev_b[:, None, :] == arangeN[None, :, None])
+    kc_i = jnp.argmax(jnp.where(m_cb, cev_t[:, None, :], -INF), axis=2)
+    ohc = kc_i[..., None] == arangeK
+    ld_c = jnp.sum(jnp.where(ohc, cev_d[:, None, :], 0), axis=2)
+    lab_c = jnp.where(jnp.any(m_cb, axis=2), ld_c, pop)  # [P, N] raw
+    oh_ec = e_c[:, None] == arangeE
+    pm_c = jnp.sum(jnp.where(oh_ec[..., None], pm_i[None], 0), axis=1)
+    fold_c = jnp.sum(
+        jnp.where(lab_c[..., None] == arangePp, pm_c[:, None, :], 0), axis=2
+    )
+    fold_c = jnp.where(
+        arangeN[None, :] == root[:, None], rp_c[:, None], fold_c
+    )
+    cross_c = (time <= t_c[:, None]) & (t_c[:, None] < pt)
+    cand = cross_c & (fold_c == fpop_c[:, None])
+    kc = jnp.sum(cand, axis=1)
+    r = jnp.floor(
+        jax.random.uniform(k_d, (P,)) * jnp.maximum(kc, 1)
+    ).astype(jnp.int32)
+    csum = jnp.cumsum(cand.astype(jnp.int32), axis=1) - 1
+    d = jnp.argmax((csum == r[:, None]) & cand, axis=1).astype(jnp.int32)
+    fail = bad | (kc == 0)
+    d = jnp.where(fail, root, d)
+    fpop_c = jnp.where(fail, rp_c, fpop_c)
+
+    # --- records ----------------------------------------------------------
+    len_j = jnp.where(
+        valid,
+        jnp.clip(jnp.minimum(wnext, t_c[:, None]) - a, 0.0, None),
+        0.0,
+    )  # [P, V]
+    oh_ev = (e_v[..., None] == arangeE).astype(jnp.float32)  # [P, V, E]
+    oh_fv = (fp_v[..., None] == arangePp).astype(jnp.float32)
+    oh_rv = (rp_v[..., None] == arangePp).astype(jnp.float32)
+    w_ep = oh_ev[..., :, None] * oh_fv[..., None, :]  # [P, V, E, Pp]
+    coal_opp = jnp.sum((ks_v * len_j)[..., None, None] * w_ep, axis=1)
+    mig_opp = jnp.sum(len_j[..., None, None] * w_ep, axis=1)
+    above = (v >= root_h[:, None]).astype(jnp.float32)
+    w_er = oh_ev[..., :, None] * oh_rv[..., None, :]
+    mig_opp = mig_opp + jnp.sum(
+        (above * len_j)[..., None, None] * w_er, axis=1
+    )
+    good = (~fail).astype(jnp.float32)
+    coal_cnt = (
+        (arangeE[None, :, None] == e_c[:, None, None])
+        & (arangePp[None, None, :] == fpop_c[:, None, None])
+    ).astype(jnp.float32) * good[:, None, None]
+
+    def cnt_jumps(jt, jd, jfrom):
+        use = ((jt < t_c[:, None]) & (jt < 0.5 * INF)).astype(jnp.float32)
+        e_j = _epoch_index(start, jt)
+        oh_e = (e_j[..., None] == arangeE).astype(jnp.float32)  # [P, Mj, E]
+        oh_f = (jfrom[..., None] == arangePp).astype(jnp.float32)
+        oh_d = (jd[..., None] == arangePp).astype(jnp.float32)
+        return jnp.sum(
+            use[..., None, None, None]
+            * oh_e[:, :, :, None, None]
+            * oh_f[:, :, None, :, None]
+            * oh_d[:, :, None, None, :],
+            axis=1,
+        )  # [P, E, Pp, Pp]
+
+    mig_cnt = cnt_jumps(jt_f, jd_f, jfrom_f) + cnt_jumps(jt_r, jd_r, jfrom_r)
+
+    ev_keep = jt_f < t_c[:, None]
+    ev_t = jnp.where(ev_keep, jt_f, INF)
+    ev_d = jnp.where(ev_keep, jd_f, 0)
+    rev_keep = jt_r < t_c[:, None]
+    rev_t = jnp.where(rev_keep, jt_r, INF)
+    rev_d = jnp.where(rev_keep, jd_r, 0)
+
+    def saturated(jt):
+        last = jnp.max(jnp.where(jt < 0.5 * INF, jt, -INF), axis=1)
+        return (jnp.sum(jt < 0.5 * INF, axis=1) == Mj) & (t_c > last)
+
+    over = (n_overflow > 0) & (
+        t_c > jnp.max(jnp.where(cev_fin, cev_t, -INF), axis=1)
+    )
+    capped = (
+        fail | saturated(jt_f) | saturated(jt_r) | over
+    ).astype(jnp.float32)
+
+    return (
+        t_c, d, fpop_c, p_raw0,
+        coal_opp, coal_cnt, mig_opp, mig_cnt,
+        ev_t, ev_d, rev_t, rev_d, capped,
+    )
+
+
 # ---------------------------------------------------------------------------
 # SPR update
 # ---------------------------------------------------------------------------
@@ -600,11 +1105,21 @@ def _set_at(arr, i, v):
 
 
 def _filter_events(ev_t, ev_d, lo, hi):
-    """Keep events with lo <= t < hi; compact left; INF-pad."""
-    keep = (ev_t >= lo) & (ev_t < hi)
-    t2 = jnp.where(keep, ev_t, INF)
-    order = jnp.argsort(t2)
-    return t2[order], jnp.where(keep, ev_d, 0)[order]
+    """Keep events with lo <= t < hi; compact left; INF-pad.
+
+    Inputs are time-sorted (every producer emits ascending INF-padded
+    lists), so compaction is a stable cumsum-slot scatter — no sort.  The
+    original argsort formulation dominated the whole migration transition
+    under vmap (~15 vmapped [2Mw] sorts serialize on TPU; measured 15.6 ms
+    vs 1.7 ms for the entire jump walk at P=1000, Mw=56)."""
+    M = ev_t.shape[0]
+    keep = (ev_t >= lo) & (ev_t < hi) & (ev_t < INF)
+    slot = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    oh = (slot[:, None] == jnp.arange(M)[None, :]) & keep[:, None]
+    t_out = jnp.sum(jnp.where(oh, ev_t[:, None], 0.0), axis=0)
+    t_out = jnp.where(jnp.any(oh, axis=0), t_out, INF)
+    d_out = jnp.sum(jnp.where(oh, ev_d[:, None], 0), axis=0)
+    return t_out, d_out
 
 
 def _merge_events_hold(t1, d1, t2, d2, M):
@@ -619,23 +1134,37 @@ def _merge_events_hold(t1, d1, t2, d2, M):
     unbounded scrm node chains; a fixed-capacity buffer needs a drop rule,
     and earliest-drop was measurably biased once buffers saturated.)
 
-    Returns (times [M], dests [M], n_dropped scalar)."""
+    Returns (times [M], dests [M], n_dropped scalar).
+
+    Sort-free: both inputs are time-sorted, so the merge is a stable rank
+    (pairwise comparisons, index tie-break) + one-hot scatter, and the
+    min-hold drop rule a second rank on (-hold, index) — vmapped argsorts
+    serialized on TPU and dominated the migration transition."""
     t = jnp.concatenate([t1, t2])
     d = jnp.concatenate([d1, d2])
-    order = jnp.argsort(t)
-    ts, ds = t[order], d[order]
-    K = ts.shape[0]
+    K = t.shape[0]
+    iK = jnp.arange(K)
+    first = (t[None, :] < t[:, None]) | (
+        (t[None, :] == t[:, None]) & (iK[None, :] < iK[:, None])
+    )
+    rank = jnp.sum(first, axis=1)  # [K] stable rank by (time, index)
+    oh = rank[:, None] == iK[None, :]
+    ts = jnp.sum(jnp.where(oh, t[:, None], 0.0), axis=0)
+    ds = jnp.sum(jnp.where(oh, d[:, None], 0), axis=0)
     valid = ts < INF
     nxt = jnp.append(ts[1:], INF)
     hold = jnp.where(valid, nxt - ts, -1.0)
-    keep_idx = jnp.argsort(-hold)[:M]
-    keep = (
-        jnp.any(keep_idx[None, :] == jnp.arange(K)[:, None], axis=1) & valid
+    larger = (hold[None, :] > hold[:, None]) | (
+        (hold[None, :] == hold[:, None]) & (iK[None, :] < iK[:, None])
     )
-    tk = jnp.where(keep, ts, INF)
-    order2 = jnp.argsort(tk)[:M]
+    keep = (jnp.sum(larger, axis=1) < M) & valid
+    slot = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    ohk = (slot[:, None] == jnp.arange(M)[None, :]) & keep[:, None]
+    tk = jnp.sum(jnp.where(ohk, ts[:, None], 0.0), axis=0)
+    tk = jnp.where(jnp.any(ohk, axis=0), tk, INF)
+    dk = jnp.sum(jnp.where(ohk, ds[:, None], 0), axis=0)
     n_dropped = jnp.maximum(jnp.sum(valid) - M, 0)
-    return tk[order2], jnp.where(keep, ds, 0)[order2], n_dropped
+    return tk, dk, n_dropped
 
 
 def _apply_spr(
@@ -764,6 +1293,9 @@ def recombination_transition(
     bias_heights=None,
     bias_strengths=None,
     leaf_rates=None,
+    mig_uniform: bool = False,
+    mig_jumps: int = 0,
+    mig_compact: int = 0,
 ):
     """Apply one masked SMC' transition to every active particle.
 
@@ -814,10 +1346,20 @@ def recombination_transition(
     # --- 2. re-coalescence walk -----------------------------------------
     P = c.shape[0]
     if has_migration:
+        walk = (
+            _walk_mig_batched
+            if os.environ.get("SMCSMC_MIG_WALK", "jump") == "loop"
+            else _walk_mig_jump
+        )
+        kw = {} if walk is _walk_mig_batched else {
+            "mig_uniform": mig_uniform,
+            "mig_jumps": mig_jumps,
+            "mig_compact": mig_compact,
+        }
         (t_c, d, fpop_c, start_pop, coal_opp, coal_cnt, mig_opp, mig_cnt,
-         ev_t, ev_d, rev_t, rev_d, walk_capped) = _walk_mig_batched(
+         ev_t, ev_d, rev_t, rev_d, walk_capped) = walk(
             k_walk[0], time, parent, pop, trees.mig_time, trees.mig_dest,
-            c, h_r, epochs, max_events, active,
+            c, h_r, epochs, max_events, active, **kw,
         )
         # per-event source-pop path for the ARG's M rows: the new branch's
         # lineage starts in start_pop and hops dest-to-dest

@@ -164,6 +164,15 @@ class PFConfig:
     max_recomb_iters: int = 64  # safety bound on the inner while loop
     has_migration: bool = False  # continuous migration in the proposal walk
     max_walk_events: int = 256  # event bound for the migration walk
+    # total out-migration rate identical across populations in every epoch
+    # AND exactly two populations (symmetric island/split models): enables
+    # the scan-free CTMC path sampler in the jump walk (transition.py)
+    mig_uniform: bool = False
+    # jump-walk budgets (0 = derive from max_mig): CTMC path jumps per
+    # lineage and global compacted branch-event capacity; sized by the
+    # driver from the model's expected event counts (em._auto_mig_sizes)
+    mig_jumps: int = 0
+    mig_compact: int = 0
     use_bias: bool = False  # height-biased recombination sampling
     max_mig: int = 16  # per-branch migration-event buffer capacity (unused
     # buffers are omitted entirely when has_migration is False)
@@ -921,6 +930,9 @@ def make_segment_step(cfg: PFConfig, epochs: Epochs, mutation_rate, rho, lags,
                 keys, trees, epochs, active,
                 has_migration=cfg.has_migration,
                 max_events=cfg.max_walk_events,
+                mig_uniform=cfg.mig_uniform,
+                mig_jumps=cfg.mig_jumps,
+                mig_compact=cfg.mig_compact,
                 bias_heights=bias_heights if cfg.use_bias else None,
                 bias_strengths=bias_strengths if cfg.use_bias else None,
                 leaf_rates=lrates,
