@@ -33,4 +33,10 @@ bench:
 tpu-smoke:
 	env PYTHONPATH=$(CURDIR):$(PYTHONPATH) SMCSMC_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py tests/test_tpu_stat_gates.py -x -q
 
-.PHONY: test test-all bench native tpu-smoke
+# fault-envelope regression (tools/repro_migfault.py): runs its own TPU
+# subprocess, so it must NOT share the single-client tunnel with a pytest
+# session — run it standalone, never concurrently with another TPU job
+tpu-envelope:
+	env PYTHONPATH=$(CURDIR):$(PYTHONPATH) SMCSMC_TPU_TESTS=1 SMCSMC_ENVELOPE=1 python -m pytest tests/test_migration_walk.py -x -q -k envelope
+
+.PHONY: test test-all bench native tpu-smoke tpu-envelope

@@ -102,6 +102,12 @@ class TestJumpLoopAgreement:
 
 
 @pytest.mark.tpu
+@pytest.mark.skipif(
+    not os.environ.get("SMCSMC_ENVELOPE"),
+    reason="spawns its own TPU process; the tunnel is single-client, so "
+    "run standalone via `make tpu-envelope` (not inside the tpu-smoke "
+    "pytest session, which holds the device claim)",
+)
 def test_migfault_envelope_jump_walk():
     """The bisected P x scan >= 2^20 TPU fault (BASELINE.md device fault
     envelope) against the jump-walk program: run the exact crash shape

@@ -128,3 +128,27 @@ def test_reference_scale_recovery():
     assert ne_hat == pytest.approx(ne, rel=0.05), ne_hat
     r_hat = float(stats.recomb_cnt.sum() / stats.recomb_opp.sum())
     assert r_hat == pytest.approx(1e-9, rel=0.25), r_hat
+
+
+def test_apf_sweep_on_device():
+    """VERDICT r4 item 9: APF (-apf 2) exercised ON DEVICE — the CPU tier's
+    invariance tests are slow-marked and no APF throughput was ever
+    recorded.  One P=1000 lookahead-weighted sweep: finite LogL, resamples,
+    E-step Ne within 2x, and the pilot-weight machinery actually engaged
+    (APF changes the resampling distribution, so ln_norm must differ from
+    the plain run on the same data/seed)."""
+    from smcsmc_tpu.em import EMConfig, run_chunk
+    from smcsmc_tpu.simulate import simulate_seg
+
+    ne = 10000.0
+    demo = _const_demo(ne=ne, L=2e6, E=8)
+    seg = simulate_seg(demo, seed=11)
+    cfg = EMConfig(num_particles=1000, block_size=256, apf=2)
+    stats, _, logl, diag = run_chunk(demo, seg, cfg, seed=2)
+    assert np.isfinite(logl) and logl < 0
+    assert diag["num_resamples"] > 0
+    ne_hat = float(stats.coal_opp.sum() / (2.0 * stats.coal_cnt.sum()))
+    assert 0.5 * ne < ne_hat < 2.0 * ne, ne_hat
+    cfg0 = EMConfig(num_particles=1000, block_size=256)
+    _, _, logl0, _ = run_chunk(demo, seg, cfg0, seed=2)
+    assert logl != logl0
