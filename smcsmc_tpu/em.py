@@ -110,22 +110,27 @@ class EMConfig:
 
 
 def _mig_block_cap(num_particles: int, backend: str, walk_impl: str):
-    """TPU runtime hazard (bisected 2026-08-21, fresh-process reproducible
-    via ``tools/repro_migfault.py``): the LOOP-walk migration sweep faults
-    the TPU worker ("kernel fault") whenever num_particles x scan_length
-    reaches 2^20 exactly — 4096x255 runs, 4096x256 crashes; the plain
-    no-migration sweep is fine at 10000x2048 (p50k bench).  Looks like an
-    i32/lane-count overflow in the compiled lock-step event walk.  The
-    jump-to-event walk (the round-5 default) compiles to a different
-    program with no population-batched while_loop and was probed clean at
-    the crash shape (tests/test_migration_walk.py envelope gate), so the
-    cap applies only to ``SMCSMC_MIG_WALK=loop``.
+    """TPU runtime hazard (bisected via ``tools/repro_migfault.py``,
+    fresh-process reproducible): compiled migration sweeps fault the TPU
+    worker ("kernel fault") beyond a program-dependent
+    ``num_particles x scan_length`` product:
 
-    Returns the max block size (P x block <= 2^19, 2x safety margin,
-    floored at 1), or None when no cap applies."""
-    if backend in ("cpu",) or walk_impl != "loop":
+    - lock-step LOOP walk (2026-08-21): boundary at 2^20 exactly —
+      4096x255 runs, 4096x256 crashes.  Cap P x block <= 2^19 (2x margin).
+    - jump-to-event walk (2026-08-22): clean at the loop's crash shape
+      4096x256 AND at 10000x512 / 10000x1024 (1.02e7); crashes at
+      10000x2048 (2.05e7) — the boundary moved ~16x but the fault class
+      persists.  Cap P x block <= 2^23 (8.4e6, under the largest probed-
+      good product).
+
+    The plain no-migration sweep is unaffected at 10000x2048 (p50k
+    bench).  Looks like an i32/descriptor-count overflow scaling with the
+    migration program's per-segment op count.  Returns the max block size
+    (floored at 1), or None when no cap applies (CPU)."""
+    if backend in ("cpu",):
         return None
-    return max(1, (2 ** 19) // max(num_particles, 1))
+    prod = (2 ** 19) if walk_impl == "loop" else (2 ** 23)
+    return max(1, prod // max(num_particles, 1))
 
 
 def _mig_uniform_rate(demo: Demography) -> bool:

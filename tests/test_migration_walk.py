@@ -126,12 +126,16 @@ def test_migfault_envelope_jump_walk():
 
 
 def test_block_cap_logic():
-    """em.run_chunk's fault-envelope cap: triggers for the loop walk on
-    accelerators, floors at 1, and never activates on CPU."""
+    """em.run_chunk's fault-envelope cap: per-impl product bounds (loop
+    2^19, jump 2^23 — see _mig_block_cap's bisection notes), floors at 1,
+    never activates on CPU."""
     from smcsmc_tpu.em import _mig_block_cap
 
     assert _mig_block_cap(1000, "tpu", "loop") == 524
     assert _mig_block_cap(65536, "tpu", "loop") == 8
     assert _mig_block_cap(2 ** 20, "tpu", "loop") == 1
     assert _mig_block_cap(1000, "cpu", "loop") is None
-    assert _mig_block_cap(1000, "tpu", "jump") is None
+    assert _mig_block_cap(1000, "cpu", "jump") is None
+    assert _mig_block_cap(10000, "tpu", "jump") == 838
+    assert _mig_block_cap(1000, "tpu", "jump") == 8388
+    assert _mig_block_cap(2 ** 24, "tpu", "jump") == 1

@@ -104,8 +104,14 @@ def main() -> None:
     if args.one:
         run_one(args.one[0], args.one[1], args.impl)
         return
-    # the bisected boundary: the last shape is exactly 2^20
-    for p, s in [(1000, 512), (4096, 128), (4096, 255), (4096, 256)]:
+    if args.impl == "loop":
+        # the bisected loop boundary: the last shape is exactly 2^20
+        shapes = [(1000, 512), (4096, 128), (4096, 255), (4096, 256)]
+    else:
+        # jump-walk bracket (2026-08-22): clean through 10000x1024
+        # (1.02e7), crashes at 10000x2048 (2.05e7)
+        shapes = [(4096, 256), (10000, 512), (10000, 1024), (10000, 2048)]
+    for p, s in shapes:
         probe(p, s, args.impl)
 
 
