@@ -117,19 +117,22 @@ def _mig_block_cap(num_particles: int, backend: str, walk_impl: str):
 
     - lock-step LOOP walk (2026-08-21): boundary at 2^20 exactly —
       4096x255 runs, 4096x256 crashes.  Cap P x block <= 2^19 (2x margin).
-    - jump-to-event walk (2026-08-22): clean at the loop's crash shape
-      4096x256 AND at 10000x512 / 10000x1024 (1.02e7); crashes at
-      10000x2048 (2.05e7) — the boundary moved ~16x but the fault class
-      persists.  Cap P x block <= 2^23 (8.4e6, under the largest probed-
+    - jump-to-event walk (2026-08-22): the boundary is PROGRAM-dependent.
+      The bare sweep (build_sweep alone, tools/repro_migfault.py) is clean
+      at 4096x256, 10000x512 and 10000x1024 (1.02e7) and crashes at
+      10000x2048 (2.05e7); the full run_chunk program is clean at
+      10000x512 (5.12e6) but crashed at 10000x838 (8.38e6).  Cap
+      P x block <= 2^22 (4.19e6, ~20% under the largest run_chunk-probed
       good product).
 
     The plain no-migration sweep is unaffected at 10000x2048 (p50k
     bench).  Looks like an i32/descriptor-count overflow scaling with the
-    migration program's per-segment op count.  Returns the max block size
-    (floored at 1), or None when no cap applies (CPU)."""
+    compiled program's per-segment op count (hence the program
+    dependence).  Returns the max block size (floored at 1), or None when
+    no cap applies (CPU)."""
     if backend in ("cpu",):
         return None
-    prod = (2 ** 19) if walk_impl == "loop" else (2 ** 23)
+    prod = (2 ** 19) if walk_impl == "loop" else (2 ** 22)
     return max(1, prod // max(num_particles, 1))
 
 

@@ -136,6 +136,6 @@ def test_block_cap_logic():
     assert _mig_block_cap(2 ** 20, "tpu", "loop") == 1
     assert _mig_block_cap(1000, "cpu", "loop") is None
     assert _mig_block_cap(1000, "cpu", "jump") is None
-    assert _mig_block_cap(10000, "tpu", "jump") == 838
-    assert _mig_block_cap(1000, "tpu", "jump") == 8388
-    assert _mig_block_cap(2 ** 24, "tpu", "jump") == 1
+    assert _mig_block_cap(10000, "tpu", "jump") == 419
+    assert _mig_block_cap(1000, "tpu", "jump") == 4194
+    assert _mig_block_cap(2 ** 23, "tpu", "jump") == 1

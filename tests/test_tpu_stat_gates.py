@@ -11,9 +11,16 @@ and stated against the reference's own targets:
   makes possible (the reference CI cannot run P=10k): pooled Ne ±1.5%,
   recombination rate ±4%;
 - (b) two-population split (-ej) with unidirectional migration
-  (test_two_pops.py:52-60 TestTwoPopsSplitUniDirMigr semantics);
+  (test_two_pops.py:52-60 TestTwoPopsSplitUniDirMigr semantics), plus an
+  opt-in 30 Mb variant at the reference's full regression scale
+  (SMCSMC_BIG_GATES=1);
 - (c) per-epoch directional migration recovery for TwoPopUniDirMigr
-  (test_migration.py:27-41).
+  (test_migration.py:27-41);
+- (d) the reference's EXACT bias-on configuration
+  (test_const_pop_size.py:17-48: n=2, mu=2.5e-8, rho=1e-8, bias 400 /
+  [3,1]) gated at the reference's own per-epoch bands — green on device
+  2026-08-22 with default lags (see BASELINE.md "Reference-config
+  precision" for the lag-calibration root cause).
 
 These run on the real device via ``make tpu-smoke`` (seconds-to-minutes
 there; hours on the CPU tier).
